@@ -1,0 +1,240 @@
+"""Candidate-instance generation: mention chunking, entity-pair generation,
+shortest-dependency-path feature construction.
+
+Spark analog of W1/W3/W4 + J3 + G1/G2/G3 + F1/F4 (SURVEY.md §2): one
+``mapInPandas`` stage, 1 sentence row -> N candidate rows.  All graph work
+is sentence-local (graphs are <= ~100 nodes), so it lives inside the Arrow
+UDF — no shuffle, no distributed graph (SURVEY.md §2.9).
+
+This is an independent implementation of the reference semantics
+(sentence_structure.py:86-152, instances.py:4-163), verified against the
+transliterated oracle (kgre/pyoracle.py) in tests/.  Noteworthy exact-parity
+rules:
+  * consecutive tokens with string-equal ``norm_ner`` merge into one
+    mention; pipe-split NER registers a token under every type
+  * pair endpoints: if max(m1) > max(m2) use (m1.first, m2.last) else
+    (m1.last, m2.first); the SDP endpoint is the mention's most-connected
+    token, first-max-wins, iteration forward for one side and reversed for
+    the other (sentence_structure.py:113-149)
+  * dependency matrix: forward cell overwritten unconditionally, reverse
+    '-'+type only fills empty cells, in edge order
+  * unweighted Dijkstra with lowest-index tie-break == BFS where a node's
+    parent is its lowest-index neighbor in the previous level
+  * masking: GENE/ONTOLOGY/ner-string overrides, START_ENTITY/END_ENTITY
+    at path ends, interior word path = word_path[1:-1]
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+ROOT_TOKEN = {"id": 0, "word": "ROOT", "lemma": "ROOT", "pos": None,
+              "ner": None, "norm_ner": None}
+
+CANDIDATES_SCHEMA = (
+    "url string, sent_id int, pair_idx int, is_reverse boolean, "
+    "gene_to_gene boolean, subj string, obj string, "
+    "pair_e1_ids array<string>, pair_e2_ids array<string>, "
+    "dep_path_string string, sdp_types array<string>, "
+    "sdp_words array<string>, sdp_elements array<string>, "
+    "between_words array<string>"
+)
+
+
+# ----------------------------------------------------------- sentence-local
+
+
+def _chunk_mentions(tokens):
+    """ner_key -> list of mention token-id lists."""
+    ents: dict[str, list[list[int]]] = {}
+    prev_norm = None
+    for t in tokens:
+        norm = t["norm_ner"]
+        for ner in t["ner"].split("|"):
+            lst = ents.setdefault(ner, [])
+            if norm is None:
+                lst.append([t["id"]])
+            elif norm == prev_norm and lst:
+                lst[-1].append(t["id"])
+            else:
+                lst.append([t["id"]])
+        prev_norm = norm
+    return ents
+
+
+def _adjacency(deps, n_tokens):
+    """(cells, neighbors): directional type cells with the reference's
+    fill-order overwrite rule, and sorted undirected neighbor lists."""
+    cells: dict[tuple[int, int], str] = {}
+    for e in deps:
+        g, d, t = e["gov"], e["dep"], e["type"]
+        cells[(g, d)] = t
+        if (d, g) not in cells:
+            cells[(d, g)] = "-" + t
+    nbrs: dict[int, list[int]] = {}
+    seen: dict[int, set] = {}
+    for (a, b) in cells:
+        seen.setdefault(a, set()).add(b)
+    for a, s in seen.items():
+        nbrs[a] = sorted(s)
+    return cells, nbrs
+
+
+def _dep_index(mention, nbrs, reverse: bool) -> int:
+    """Most-connected token, first max wins in iteration order."""
+    it = reversed(mention) if reverse else mention
+    best, best_deg = -1, -1
+    for tok in it:
+        deg = len(nbrs.get(tok, ()))
+        if deg > best_deg:
+            best_deg, best = deg, tok
+    return best
+
+
+def _bfs_path(nbrs, source: int, target: int) -> list[int]:
+    """Shortest path with parent = lowest-index neighbor in the previous
+    BFS level (provably equal to the reference Dijkstra's
+    ``distance.index(min(distance))`` tie-break with unit weights)."""
+    if source == target:
+        return []
+    parent: dict[int, int] = {}
+    seen = {source}
+    frontier = [source]
+    while frontier and target not in parent:
+        nxt: dict[int, int] = {}
+        for u in sorted(frontier):
+            for v in nbrs.get(u, ()):
+                if v not in seen and v not in nxt:
+                    nxt[v] = u
+        seen.update(nxt)
+        parent.update(nxt)
+        frontier = list(nxt)
+    if target not in parent:
+        return []
+    path = [target]
+    while path[-1] != source:
+        path.append(parent[path[-1]])
+    path.reverse()
+    return path
+
+
+def _mask(tok) -> str:
+    if tok["norm_ner"] is not None:
+        ner = tok["ner"]
+        if "GENE" in ner:
+            return "GENE"
+        if "ONTOLOGY" in ner:
+            return "ONTOLOGY"
+        return ner
+    return tok["lemma"]
+
+
+def _instance_features(by_id, cells, nbrs, start, end):
+    """SDP features for one directed instance (start/end are
+    (between_idx, dep_idx) pairs)."""
+    path = _bfs_path(nbrs, start[1], end[1])
+    type_path, word_path, elements = [], [], []
+    for i in range(len(path) - 1):
+        a, b = path[i], path[i + 1]
+        dep_type = cells.get((a, b), "")
+        sw = "START_ENTITY" if i == 0 else _mask(by_id[a])
+        ew = "END_ENTITY" if i + 1 == len(path) - 1 else _mask(by_id[b])
+        elements.append(sw + dep_type + ew)
+        if sw != "":
+            word_path.append(sw)
+        type_path.append(dep_type)
+    lo, hi = min(start[0], end[0]), max(start[0], end[0])
+    between = [_mask(by_id[i]) for i in range(lo + 1, hi)]
+    return {
+        "dep_path_string": " ".join(type_path),
+        "sdp_types": type_path,
+        "sdp_words": word_path[1:-1],
+        "sdp_elements": elements,
+        "between_words": between,
+    }
+
+
+def sentence_candidates(url, sent_id, tokens, deps, entity_a, entity_b, stop):
+    """One parsed sentence -> candidate instance rows (forward + reverse;
+    reverse rows carry gene_to_gene so the scorer can drop non-gene-gene
+    reverse instances while the vocab builder keeps them,
+    load_data.py:201-212)."""
+    tokens = [dict(t) for t in tokens]
+    ents = _chunk_mentions(tokens)
+    t1 = sorted(k for k in ents if entity_a in k)
+    t2 = sorted(k for k in ents if entity_b in k)
+    if not t1 or not t2:
+        return []
+    cells, nbrs = _adjacency(deps, len(tokens))
+    by_id = {t["id"]: t for t in tokens}
+    by_id[0] = ROOT_TOKEN
+    rows = []
+    pair_idx = 0
+    for za in t1:
+        for zb in t2:
+            for m1 in ents[za]:
+                for m2 in ents[zb]:
+                    if m1 == m2:
+                        continue
+                    if max(m1) > max(m2):
+                        p0 = (m1[0], _dep_index(m1, nbrs, False))
+                        p1 = (m2[-1], _dep_index(m2, nbrs, True))
+                    else:
+                        p0 = (m1[-1], _dep_index(m1, nbrs, True))
+                        p1 = (m2[0], _dep_index(m2, nbrs, False))
+                    tok1, tok2 = by_id[p0[0]], by_id[p1[0]]
+                    e1_ids = tok1["norm_ner"].split("|")
+                    e2_ids = tok2["norm_ner"].split("|")
+                    if stop & set(e1_ids) or stop & set(e2_ids):
+                        pair_idx += 1
+                        continue
+                    g2g = "GENE" in tok1["ner"] and "GENE" in tok2["ner"]
+                    for is_rev, (s, e) in ((False, (p0, p1)), (True, (p1, p0))):
+                        feats = _instance_features(by_id, cells, nbrs, s, e)
+                        rows.append(
+                            {
+                                "url": url,
+                                "sent_id": sent_id,
+                                "pair_idx": pair_idx,
+                                "is_reverse": is_rev,
+                                "gene_to_gene": g2g,
+                                "subj": by_id[s[0]]["norm_ner"],
+                                "obj": by_id[e[0]]["norm_ner"],
+                                "pair_e1_ids": e1_ids,
+                                "pair_e2_ids": e2_ids,
+                                **feats,
+                            }
+                        )
+                    pair_idx += 1
+    return rows
+
+
+# ------------------------------------------------------------------- Spark
+
+_COLS = [
+    "url", "sent_id", "pair_idx", "is_reverse", "gene_to_gene", "subj",
+    "obj", "pair_e1_ids", "pair_e2_ids", "dep_path_string", "sdp_types",
+    "sdp_words", "sdp_elements", "between_words",
+]
+
+
+def candidates_from_sentences(sentences: DataFrame, entity_a: str,
+                              entity_b: str, stop_ids) -> DataFrame:
+    """sentences rows -> candidate rows (mapInPandas; stop list is tiny and
+    ships inside the serialized closure — a map-side anti-join)."""
+    stop = frozenset(stop_ids)
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for url, sid, toks, deps in zip(
+                pdf["url"], pdf["sent_id"], pdf["tokens"], pdf["deps"]
+            ):
+                rows.extend(
+                    sentence_candidates(url, int(sid), toks, deps, entity_a,
+                                        entity_b, stop)
+                )
+            yield pd.DataFrame(rows, columns=_COLS)
+
+    return sentences.mapInPandas(run, schema=CANDIDATES_SCHEMA)

@@ -1,0 +1,106 @@
+"""End-to-end KG-construction pipeline: pages -> scored triples.
+
+Physical plan (SURVEY.md §4.3):
+
+  scan pages (lang filter pushed to scan, html pruned into extract only)
+   -> [optional repartition(url-hash)] even work units before Python
+   -> mapInPandas: extract html->text + sentence split/parse + candidate
+      features  (ONE fused Arrow stage — a single JVM->Python crossing for
+      the whole per-row path; parse.py / candidates.py remain separately
+      composable + tested)
+   -> checkpoint: candidates parquet (the reference's TFRecord boundary,
+      S10) — consumed twice (vocab agg + scoring) without recompute
+   -> groupBy vocab counts (single shuffle, map-side partial agg)
+   -> mapInPandas score over broadcast {weights, vocab, KB} -> triples
+   -> triples sink partitioned by rel
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgre import kb as kbmod
+from kgre import nlp
+from kgre.candidates import CANDIDATES_SCHEMA, _COLS, sentence_candidates
+from kgre.extract import extract_text_from_html
+from kgre.score import score_candidates
+from kgre.vocab import build_vocab, collect_vocab_sets
+
+
+def pages_to_candidates(pages: DataFrame, entity_a: str, entity_b: str,
+                        stop_ids, lang: str = "en") -> DataFrame:
+    """Fused extract+parse+candidate stage (1 Python crossing)."""
+    stop = frozenset(stop_ids)
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                text = extract_text_from_html(html)
+                for s in nlp.parse_text(text):
+                    rows.extend(
+                        sentence_candidates(
+                            url, s["sent_id"], s["tokens"], s["deps"],
+                            entity_a, entity_b, stop,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=_COLS)
+
+    # lang filter first => predicate pushdown to the scan; only url+html
+    # survive into the Python stage (column pruning keeps the blob out of
+    # every later exchange)
+    return (
+        pages.filter(F.col("lang") == lang)
+        .select("url", "html")
+        .mapInPandas(run, schema=CANDIDATES_SCHEMA)
+    )
+
+
+class KgPipeline:
+    """Orchestrates the flagship job. KB/ontology/stop inputs are
+    dictionary-sized DataFrames; corpus inputs are arbitrarily large."""
+
+    def __init__(self, spark: SparkSession, entity_a: str = "GENE",
+                 entity_b: str = "ONTOLOGY", occur_count: int = 5):
+        self.spark = spark
+        self.entity_a = entity_a
+        self.entity_b = entity_b
+        self.occur_count = occur_count
+
+    def prepare_kb(self, kb_rows_list, onto_rows):
+        kb = kbmod.kb_df(self.spark, kb_rows_list)
+        onto = kbmod.ontology_df(self.spark, onto_rows)
+        closure = kbmod.ontology_closure_df(onto)
+        expanded = kbmod.expand_kb(kb, closure)
+        fwd, rev = kbmod.collect_kb_sets(expanded)
+        return fwd, rev, sorted(fwd)
+
+    def run(self, pages: DataFrame, kb_rows_list, onto_rows, stop_ids,
+            checkpoint_dir: str | None = None,
+            repartition: int | None = None):
+        """pages -> (scored triples DF, vocab DF, key_order)."""
+        fwd, rev, key_order = self.prepare_kb(kb_rows_list, onto_rows)
+        if repartition:
+            pages = pages.repartition(repartition, "url")
+        cands = pages_to_candidates(pages, self.entity_a, self.entity_b,
+                                    stop_ids)
+        if checkpoint_dir:
+            # materialized stage boundary (reference: per-file TFRecord
+            # shards, load_data.py:640-662) — vocab agg and scoring both
+            # read the parquet, never recompute the Python stage
+            cands.write.mode("overwrite").parquet(checkpoint_dir)
+            cands = self.spark.read.parquet(checkpoint_dir)
+        else:
+            cands = cands.persist()
+        vocab_df = build_vocab(cands, self.occur_count)
+        vocabs = collect_vocab_sets(vocab_df)
+        scored = score_candidates(cands, vocabs, key_order, fwd, rev)
+        return scored, vocab_df, key_order
+
+
+def write_triples(scored: DataFrame, path: str) -> None:
+    """S13 sink: partitioned by relation (the reference writes one TSV per
+    relation key, relation_extraction.py:21-47)."""
+    scored.write.mode("overwrite").partitionBy("rel").parquet(path)

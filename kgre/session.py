@@ -1,0 +1,36 @@
+"""SparkSession factory with the scale-oriented defaults the pipeline assumes.
+
+Settings chosen for the 100 TB design point and exercised at local[*]:
+  * AQE on (runtime coalesce, skew-join splitting) — SURVEY.md §4.2
+  * Arrow transport for all pandas UDF stages, bounded batch size
+  * shuffle partitions sized to cores locally; on a real cluster this is
+    superseded by AQE target sizes
+  * UTC session timezone so DuckDB oracle comparisons are stable
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "kgre", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    master = master or os.environ.get("KGRE_MASTER", "local[*]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("KGRE_SHUFFLE_PARTITIONS", "32"))
+    return (
+        SparkSession.builder.appName(app)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("KGRE_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
