@@ -1,0 +1,10 @@
+import pytest
+
+from kgre.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("kgre-tests", master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()

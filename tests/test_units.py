@@ -1,0 +1,222 @@
+"""Per-operator unit tests (SURVEY.md §5.2 item 1), written against the
+oracle transliteration AND the independent Spark-side per-sentence
+implementation — every case asserts both agree (and, where the reference
+fixes an absolute answer, what that answer is)."""
+
+from __future__ import annotations
+
+from kgre import pyoracle
+from kgre.candidates import sentence_candidates
+from kgre.model import score_logit
+from kgre.util import sigmoid
+from tests.helpers import chain_deps, dep, oracle_candidate_rows, tok
+
+
+def both(tokens, deps, ea="GENE", eb="ONTOLOGY", stop=frozenset()):
+    got = sentence_candidates("u", 0, tokens, deps, ea, eb, stop)
+    want = oracle_candidate_rows("u", 0, tokens, deps, ea, eb, stop)
+    assert got == want
+    return got
+
+
+# ------------------------------------------------------- mention chunking W1
+
+
+def test_consecutive_same_norm_merges():
+    toks = [tok(1, "GENE5"), tok(2, "GENE5"), tok(3, "binds"), tok(4, "GO7")]
+    rows = both(toks, chain_deps(4))
+    fwd = [r for r in rows if not r["is_reverse"]]
+    assert len(fwd) == 1  # one merged GENE mention x one GO mention
+    assert fwd[0]["subj"] == "G00005"
+
+
+def test_adjacent_distinct_mentions_stay_separate():
+    toks = [tok(1, "GENE5"), tok(2, "GENE6"), tok(3, "GO7")]
+    rows = both(toks, chain_deps(3))
+    fwd = [r for r in rows if not r["is_reverse"]]
+    assert {r["subj"] for r in fwd} == {"G00005", "G00006"}
+
+
+def test_pipe_ner_registers_both_types_and_duplicates_pairs():
+    # VGENE token sits in HUMAN_GENE and VIRUS_GENE mention lists; product
+    # over type names duplicates the pair (sentence_structure.py:135-136)
+    toks = [tok(1, "VGENE3"), tok(2, "word"), tok(3, "GO2")]
+    rows = both(toks, chain_deps(3))
+    fwd = [r for r in rows if not r["is_reverse"]]
+    assert len(fwd) == 2
+    assert all(r["subj"] == "G00003|V00003" for r in fwd)
+
+
+def test_multi_token_mention_not_merged_across_different_norm():
+    toks = [tok(1, "GENE5"), tok(2, "VGENE5"), tok(3, "GO7")]
+    rows = both(toks, chain_deps(3))
+    fwd = [r for r in rows if not r["is_reverse"]]
+    # GENE5 and VGENE5 have different norm strings -> separate mentions
+    assert {r["subj"] for r in fwd} == {"G00005", "G00005|V00005"}
+
+
+# -------------------------------------------- pair endpoint selection W3/W4
+
+
+def test_endpoint_branch_mention_order():
+    # m1 after m2: between boundary = (m1.first, m2.last)
+    toks = [tok(1, "GO7"), tok(2, "x"), tok(3, "GENE5"), tok(4, "GENE5")]
+    rows = both(toks, chain_deps(4))
+    fwd = [r for r in rows if not r["is_reverse"]]
+    assert len(fwd) == 1
+    # gene mention [3,4] vs GO [1]: max(m1)>max(m2) -> p0 = m1[0]=3
+    assert fwd[0]["between_words"] == ["x"]  # tokens strictly between 1..3
+
+
+def test_dependency_index_most_connected_first_max_wins():
+    # mention [1,2]; token 2 has higher degree -> SDP endpoint is 2
+    toks = [tok(1, "GENE5"), tok(2, "GENE5"), tok(3, "w"), tok(4, "GO7")]
+    deps = [dep("root", 0, 2), dep("amod", 2, 1), dep("conj", 2, 3),
+            dep("nmod", 3, 4)]
+    rows = both(toks, deps)
+    fwd = [r for r in rows if not r["is_reverse"]][0]
+    # path from most-connected gene token (2) to GO head (4): 2-3-4
+    assert fwd["sdp_types"] == ["conj", "nmod"]
+
+
+# ------------------------------------------------- dependency matrix / SDP
+
+
+def test_reverse_edge_overwrite_rule():
+    # edges (1->2, t1) then (2->1, t2): cell[1][2]=t1 stays, cell[2][1]
+    # overwritten to t2 (forward assignment unconditional)
+    toks = [tok(1, "GENE5"), tok(2, "GO7")]
+    deps = [dep("root", 0, 1), dep("nsubj", 1, 2), dep("dobj", 2, 1)]
+    rows = both(toks, deps)
+    fwd = [r for r in rows if not r["is_reverse"]][0]
+    rev = [r for r in rows if r["is_reverse"]][0]
+    assert fwd["sdp_types"] == ["nsubj"]
+    assert rev["sdp_types"] == ["dobj"]
+
+
+def test_unreachable_sdp_gives_empty_path():
+    toks = [tok(1, "GENE5"), tok(2, "w"), tok(3, "GO7")]
+    deps = [dep("root", 0, 1), dep("conj", 1, 2)]  # token 3 disconnected
+    rows = both(toks, deps)
+    fwd = [r for r in rows if not r["is_reverse"]][0]
+    assert fwd["sdp_types"] == []
+    assert fwd["dep_path_string"] == ""
+    assert fwd["between_words"] == ["w"]  # between words still computed
+
+
+def test_dijkstra_tie_break_lowest_index():
+    # two length-2 paths 1->2->5 and 1->3->5; reference picks parent 2
+    toks = [tok(1, "GENE5"), tok(2, "a"), tok(3, "b"), tok(4, "c"),
+            tok(5, "GO7")]
+    deps = [dep("root", 0, 1), dep("amod", 1, 2), dep("conj", 1, 3),
+            dep("det", 1, 4), dep("nsubj", 2, 5), dep("dobj", 3, 5)]
+    rows = both(toks, deps)
+    fwd = [r for r in rows if not r["is_reverse"]][0]
+    assert fwd["sdp_types"] == ["amod", "nsubj"]  # via token 2, not 3
+
+
+def test_masking_start_end_entity_and_interior():
+    toks = [tok(1, "GENE5"), tok(2, "GENE9"), tok(3, "study"), tok(4, "GO7")]
+    deps = [dep("root", 0, 1), dep("conj", 1, 2), dep("nmod", 2, 3),
+            dep("det", 3, 4)]
+    rows = both(toks, deps)
+    fwd = [r for r in rows if not r["is_reverse"]][0]
+    # path 1-2-3-4: word_path collects edge START words only
+    # ([START_ENTITY, GENE, study]); interior = word_path[1:-1]
+    assert fwd["sdp_words"] == ["GENE"]
+    assert fwd["sdp_elements"] == [
+        "START_ENTITYconjGENE", "GENEnmodstudy", "studydetEND_ENTITY"]
+    assert fwd["between_words"] == ["GENE", "study"]
+
+
+# --------------------------------------------------------------- filters
+
+
+def test_stop_entity_filter_drops_pair():
+    toks = [tok(1, "GENE13"), tok(2, "GO7")]
+    rows = both(toks, chain_deps(2), stop=frozenset({"G00013"}))
+    assert rows == []
+
+
+def test_self_pair_and_missing_type_filters():
+    # only genes, no ontology -> pairs None -> no rows
+    toks = [tok(1, "GENE5"), tok(2, "GENE6")]
+    assert both(toks, chain_deps(2)) == []
+    # gene-gene mode: self pair skipped, both directions as forward rows
+    rows = both(toks, chain_deps(2), ea="GENE", eb="GENE")
+    fwd = [r for r in rows if not r["is_reverse"]]
+    assert {(r["subj"], r["obj"]) for r in fwd} == {
+        ("G00005", "G00006"), ("G00006", "G00005")}
+    assert all(r["gene_to_gene"] for r in rows)
+
+
+def test_substring_entity_type_match():
+    # 'GENE' matches both HUMAN_GENE and VIRUS_GENE keys (F6)
+    toks = [tok(1, "VGENE2"), tok(2, "GO3")]
+    rows = both(toks, chain_deps(2))
+    assert len([r for r in rows if not r["is_reverse"]]) == 2  # two type keys
+
+
+# -------------------------------------------------------- label truth table
+
+
+def _labels(combos, key_order, fwd_kb, rev_kb):
+    return pyoracle.label_instance(set(combos), key_order, fwd_kb, rev_kb)
+
+
+def test_label_directional_forward_and_elif():
+    ko = ["r.txt"]
+    fwd = {"r.txt": {("A", "B")}}
+    rev = {"r.txt": {("A", "B")}}
+    f, r = _labels([("A", "B")], ko, fwd, rev)
+    # forward matches -> elif means reverse NOT labeled (load_data.py:283-286)
+    assert (f, r) == ([1], [0])
+
+
+def test_label_directional_reverse_only():
+    ko = ["r.txt"]
+    f, r = _labels([("A", "B")], ko, {"r.txt": set()}, {"r.txt": {("A", "B")}})
+    assert (f, r) == ([0], [1])
+
+
+def test_label_symmetric_both_instances():
+    ko = ["SYMMETRICs.txt"]
+    f, r = _labels([("A", "B")], ko, {ko[0]: set()}, {ko[0]: {("A", "B")}})
+    assert (f, r) == ([1], [1])
+
+
+def test_label_via_ontology_closure():
+    onto = [{"term": "GO:2", "is_a": "GO:1"}, {"term": "GO:3", "is_a": "GO:2"}]
+    closure = pyoracle.ontology_closure(onto)
+    assert closure["GO:3"] == {"GO:3", "GO:2", "GO:1"}
+    kb = [{"rel": "a.txt", "e1": "G1", "e2": "GO:3", "rel_text": "activates"}]
+    fwd, rev = pyoracle.load_kb(kb, closure)
+    # sentence mentions ancestor GO:1 -> matched via closure expansion
+    assert ("G1", "GO:1") in fwd["a.txt"]
+    assert rev["a.txt"] == set()
+
+
+def test_closure_cycle_guard():
+    onto = [{"term": "GO:1", "is_a": "GO:2"}, {"term": "GO:2", "is_a": "GO:1"}]
+    closure = pyoracle.ontology_closure(onto)  # must terminate
+    assert closure["GO:1"] == {"GO:1", "GO:2"}
+
+
+def test_kb_by_suffix_routes_to_reverse():
+    kb = [{"rel": "i.txt", "e1": "A", "e2": "B", "rel_text": "inhibited by"}]
+    fwd, rev = pyoracle.load_kb(kb, {})
+    assert fwd["i.txt"] == set() and rev["i.txt"] == {("A", "B")}
+
+
+# ----------------------------------------------------------- model scoring
+
+
+def test_score_logit_set_semantics():
+    vocabs = {"dep_path": {"p"}, "dep_word": {"w"}, "element": set(),
+              "between": set()}
+    z1 = score_logit("r", "p", ["w", "w"], [], [], vocabs)
+    z2 = score_logit("r", "p", ["w"], [], [], vocabs)
+    assert z1 == z2  # duplicates count once (set intersection semantics)
+    z3 = score_logit("r", "q", ["w"], [], [], vocabs)  # path not in vocab
+    assert z3 != z1
+    assert 0.0 <= sigmoid(z1) <= 1.0
