@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction pipeline (SURVEY.md §7.1)
+over pages derived from the sf0.001 documents table.  ``queries()`` maps
+one entry per implemented operator family from SURVEY.md §2 (plus the
+training-data-pipeline extensions) to a DataFrame builder; ``oracle_sql()``
+provides the DuckDB twin for every SQL-expressible one.  Column names and
+rounding are aligned on both sides (driver compares by sorted column name
++ value hash).
 """
 
 from __future__ import annotations
@@ -12,27 +14,680 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgre import dedup, kb as kbmod, linking, multimodal, similarity, synthgen
+from kgre import textstats, webtext
+from kgre.pipeline import KgPipeline
+from kgre.score import emitted_triples
+
+# ---------------------------------------------------------------- fixtures
+
+# tiny inline KB for the declarative label-join check (J1)
+_KB_WORDS = [("join", "R_join"), ("merge", "R_join"), ("agg", "R_agg"),
+             ("spark", "R_spark"), ("window", "R_window")]
+_KB_VALUES_SQL = ", ".join("('%s','%s')" % (w, r) for w, r in _KB_WORDS)
+
+_STOP_WORDS = ["spark", "join"]
+
+# inline is_a DAG for the closure check (S7/G4): multi-parent + a cycle
+_ONTO_EDGES = [("B", "A"), ("C", "B"), ("D", "B"), ("D", "C"), ("E", "D"),
+               ("G", "F"), ("H", "G"), ("X", "Y"), ("Y", "X")]
+_ONTO_VALUES_SQL = ", ".join("('%s','%s')" % (t, a) for t, a in _ONTO_EDGES)
+
+# inline undirected edges for connected components: two chains, a cycle,
+# a star
+_CC_EDGES = [("a1", "a2"), ("a2", "a3"), ("a3", "a4"),
+             ("b1", "b2"), ("b2", "b3"), ("b3", "b1"),
+             ("c1", "c2"), ("c1", "c3"), ("c1", "c4"), ("c1", "c5"),
+             ("d1", "d2")]
+_CC_VALUES_SQL = ", ".join("('%s','%s')" % (s, d) for s, d in _CC_EDGES)
+
+_EN_STOP_SQL = "[" + ", ".join("'%s'" % w for w in textstats.EN_STOPWORDS) + "]"
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col):
+    """Exact integer cents from a 2-decimal double — engine-portable sums."""
+    return F.round(F.col(col) * 100, 0).cast("long")
+
+
+# ------------------------------------------------------------------ entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: documents -> synthetic web pages -> extract -> parse ->
+    candidates -> distant labels + logistic scoring -> emitted triples."""
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    pages = webtext.pages_from_documents(docs)
+    pipe = KgPipeline(spark, occur_count=2)
+    scored, _, _ = pipe.run(pages, synthgen.kb_rows(), synthgen.ontology_rows(),
+                            synthgen.stop_entity_ids())
+    return emitted_triples(scored)
+
+
+# ------------------------------------------------------ query definitions
+
+
+def _q_kg_flagship(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    pages = webtext.pages_from_documents(docs)
+    pipe = KgPipeline(spark, occur_count=2)
+    scored, _, _ = pipe.run(pages, synthgen.kb_rows(), synthgen.ontology_rows(),
+                            synthgen.stop_entity_ids())
+    return emitted_triples(scored).select("url", "subj", "obj", "rel",
+                                          "label", F.round("prob", 6).alias("prob"))
+
+
+def _q_kg_candidates(spark, sf_dir):
+    from kgre.pipeline import pages_to_candidates
+    docs = _docs(spark, sf_dir)
+    pages = webtext.pages_from_documents(docs)
+    cands = pages_to_candidates(pages, "GENE", "ONTOLOGY",
+                                synthgen.stop_entity_ids())
+    return cands.select("url", "sent_id", "pair_idx", "is_reverse", "subj",
+                        "obj", "dep_path_string")
+
+
+def _q_vocab_topk(spark, sf_dir):
+    from pyspark.sql import Window
+    tok = _docs(spark, sf_dir).select(
+        F.explode(F.split("text", " ")).alias("word"))
+    counts = tok.groupBy("word").agg(F.count("*").alias("cnt")).filter(
+        F.col("cnt") >= 10)
+    w = Window.orderBy(F.desc("cnt"), F.asc("word"))
+    return (counts.withColumn("id", F.row_number().over(w) - 1)
+            .orderBy("id").limit(100).select("word", "cnt", "id"))
+
+
+def _q_entity_distribution(spark, sf_dir):
+    return (_docs(spark, sf_dir).groupBy("source")
+            .agg(F.count("*").alias("n_docs"))
+            .orderBy(F.desc("n_docs"), F.asc("source")))
+
+
+def _q_label_join(spark, sf_dir):
+    kb = spark.createDataFrame(_KB_WORDS, "word string, rel string")
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word"))
+    return tok.join(F.broadcast(kb), "word").select("doc_id", "rel").distinct()
+
+
+def _q_stop_anti_join(spark, sf_dir):
+    toks = F.split("text", " ")
+    hits = F.size(F.filter(toks, lambda t: t.isin(_STOP_WORDS)))
+    return _docs(spark, sf_dir).filter(hits == 0).select("doc_id")
+
+
+def _q_fold_split(spark, sf_dir):
+    fold = F.expr("ascii(substring(md5(cast(doc_id as string)), 1, 1)) % 4")
+    return (_docs(spark, sf_dir).select(fold.alias("fold"))
+            .groupBy("fold").agg(F.count("*").alias("n_docs")))
+
+
+def _q_ontology_closure(spark, sf_dir):
+    onto = spark.createDataFrame(_ONTO_EDGES, "term string, is_a string")
+    return kbmod.ontology_closure_df(onto)
+
+
+def _q_connected_components(spark, sf_dir):
+    from kgre.canon import connected_components
+    edges = spark.createDataFrame(_CC_EDGES, "src string, dst string")
+    return connected_components(edges)
+
+
+def _q_segment_chunking(spark, sf_dir):
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _events(spark, sf_dir).withColumn(
+        "chg",
+        F.when(F.lag("event_type").over(w).isNull()
+               | (F.lag("event_type").over(w) != F.col("event_type")), 1)
+        .otherwise(0),
+    )
+    return ev.groupBy("user_id").agg(F.sum("chg").alias("n_segments"))
+
+
+def _q_sessionize(spark, sf_dir):
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    ev = _events(spark, sf_dir).withColumn(
+        "new_sess",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    return ev.groupBy("user_id").agg(F.sum("new_sess").alias("n_sessions"))
+
+
+def _q_window_tumbling(spark, sf_dir):
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")),
+                         "yyyy-MM-dd HH:mm:ss")
+    return (_events(spark, sf_dir)
+            .groupBy(hour.alias("hour"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(_cents("value")).alias("sum_value_cents")))
+
+
+def _q_set_ops(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    errorers = ev.filter(F.col("event_type") == "error").select("user_id")
+    return clickers.intersect(errorers).orderBy("user_id")
+
+
+def _q_topk_users(spark, sf_dir):
+    return (_events(spark, sf_dir).groupBy("user_id")
+            .agg(F.sum(_cents("value")).alias("total_cents"))
+            .orderBy(F.desc("total_cents"), F.asc("user_id")).limit(10))
+
+
+def _q_confusion_f1(spark, sf_dir):
+    pred = F.expr("ascii(substring(md5(cast(event_id as string)), 1, 1)) % 2 = 0")
+    label = F.col("value") > 50.0
+    ev = _events(spark, sf_dir).select(
+        "event_type", label.alias("label"), pred.alias("pred"))
+    agg = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("label") & F.col("pred"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(~F.col("label") & F.col("pred"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("label") & ~F.col("pred"), 1).otherwise(0)).alias("fn"),
+    )
+    return agg.withColumn(
+        "f1", F.round(2.0 * F.col("tp") / (2 * F.col("tp") + F.col("fp")
+                                           + F.col("fn")), 4))
+
+
+def _q_json_props(spark, sf_dir):
+    k = F.regexp_extract("props", "([0-9]+)", 1).cast("long")
+    return (_events(spark, sf_dir).groupBy("event_type")
+            .agg(F.sum(k).alias("sum_k")))
+
+
+def _q_tpch_pricing(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-01"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_cents("l_quantity")).alias("sum_qty_cents"),
+        F.sum(_cents("l_extendedprice")).alias("sum_price_cents"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def _q_tpch_top_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+                  0).cast("long")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("l_orderkey")
+            .agg(F.sum(rev).alias("revenue_cents"))
+            .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey")).limit(10))
+
+
+def _q_broadcast_join(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name").agg(F.count("*").alias("n_suppliers")))
+
+
+def _q_pair_generation(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    a = s.select(F.col("s_nationkey").alias("nk"), F.col("s_suppkey").alias("k1"))
+    b = s.select(F.col("s_nationkey").alias("nk"), F.col("s_suppkey").alias("k2"))
+    pairs = a.join(b, "nk").filter(F.col("k1") < F.col("k2"))
+    return (pairs.join(F.broadcast(n), F.col("nk") == n.n_nationkey)
+            .groupBy("n_name").agg(F.count("*").alias("n_pairs")))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    fp = F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 5)))
+    return (_docs(spark, sf_dir).select("doc_id", fp.alias("fp"))
+            .groupBy("fp")
+            .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+            .filter(F.col("n_docs") > 1))
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 120)
+    return dedup.jaccard_pairs(docs, n=1, threshold=0.6)
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return dedup.minhash_near_dups(docs, threshold=0.3, n_hashes=8, bands=4,
+                                   shingle_n=3)
+
+
+def _q_simhash_neardups(spark, sf_dir):
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return dedup.simhash_near_dups(docs, max_hamming=6)
+
+
+def _q_ann_cosine_topk(spark, sf_dir):
+    return similarity.cosine_topk(_embs(spark, sf_dir), query_id=0, k=10)
+
+
+def _q_cosine_neardup(spark, sf_dir):
+    return similarity.cosine_neardup_pairs(_embs(spark, sf_dir),
+                                           threshold=0.30, max_id=150)
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    return similarity.ann_topk(_embs(spark, sf_dir), query_id=0, k=10,
+                               n_planes=6)
+
+
+def _q_token_count(spark, sf_dir):
+    return textstats.token_count(_docs(spark, sf_dir))
+
+
+def _q_quality_score(spark, sf_dir):
+    return textstats.quality_score(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    return textstats.lang_id(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(_docs(spark, sf_dir))
+
+
+def _q_multimodal_meta(spark, sf_dir):
+    blobs = multimodal.blobs_from_documents(_docs(spark, sf_dir))
+    return multimodal.decode_metadata(blobs)
+
+
+def _q_frame_sample(spark, sf_dir):
+    blobs = multimodal.blobs_from_documents(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 100))
+    return multimodal.frame_sample(blobs, every_k=2)
+
+
+def _q_entity_linking(spark, sf_dir):
+    parts = _t(spark, sf_dir, "part")
+    dictionary = parts.select(F.col("p_partkey").alias("entity_id"),
+                              F.col("p_name").alias("alias")).distinct()
+    # noisy mention surface forms: suffix token + case noise
+    mentions = parts.select(
+        F.col("p_partkey").alias("mention_id"),
+        F.concat(F.upper("p_name"), F.lit(" item")).alias("phrase"))
+    return linking.link_mentions(mentions, dictionary, threshold=0.4)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # KG pipeline (SURVEY.md §2.1-2.10; rows-only, non-SQL-expressible)
+        "q_kg_flagship": _q_kg_flagship,
+        "q_kg_candidates": _q_kg_candidates,
+        # aggregations / sorts (A1, A3, O1-O3)
+        "q_vocab_topk": _q_vocab_topk,
+        "q_entity_distribution": _q_entity_distribution,
+        "q_topk_users": _q_topk_users,
+        # joins (J1, J3, J5) + filters (F1)
+        "q_label_join": _q_label_join,
+        "q_stop_anti_join": _q_stop_anti_join,
+        "q_fold_split": _q_fold_split,
+        "q_broadcast_join": _q_broadcast_join,
+        "q_pair_generation": _q_pair_generation,
+        # graph (S7/G4, north-star CC)
+        "q_ontology_closure": _q_ontology_closure,
+        "q_connected_components": _q_connected_components,
+        # window / sequence (W1-family)
+        "q_segment_chunking": _q_segment_chunking,
+        "q_sessionize": _q_sessionize,
+        "q_window_tumbling": _q_window_tumbling,
+        # set ops (U1/U2)
+        "q_set_ops": _q_set_ops,
+        # metrics (A5)
+        "q_confusion_f1": _q_confusion_f1,
+        # scalar/string (X-family)
+        "q_json_props": _q_json_props,
+        # TPC-H-ish relational coverage
+        "q_tpch_pricing": _q_tpch_pricing,
+        "q_tpch_top_orders": _q_tpch_top_orders,
+        # dedup suite
+        "q_dedup_exact": _q_dedup_exact,
+        "q_ngram_jaccard": _q_ngram_jaccard,
+        "q_minhash_lsh": _q_minhash_lsh,
+        "q_simhash_neardups": _q_simhash_neardups,
+        # similarity suite
+        "q_ann_cosine_topk": _q_ann_cosine_topk,
+        "q_cosine_neardup": _q_cosine_neardup,
+        "q_ann_lsh_topk": _q_ann_lsh_topk,
+        # text analysis
+        "q_token_count": _q_token_count,
+        "q_quality_score": _q_quality_score,
+        "q_lang_id": _q_lang_id,
+        "q_fingerprint": _q_fingerprint,
+        # multimodal plumbing
+        "q_multimodal_meta": _q_multimodal_meta,
+        "q_frame_sample": _q_frame_sample,
+        # entity linking (north-star; rows-only)
+        "q_entity_linking": _q_entity_linking,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q_vocab_topk": """
+            WITH t AS (SELECT unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+            c AS (SELECT word, count(*) AS cnt FROM t GROUP BY word
+                  HAVING count(*) >= 10)
+            SELECT word, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, word) - 1 AS id
+            FROM c ORDER BY id LIMIT 100
+        """,
+        "q_entity_distribution": """
+            SELECT source, count(*) AS n_docs FROM documents
+            GROUP BY source ORDER BY n_docs DESC, source
+        """,
+        "q_label_join": f"""
+            SELECT DISTINCT d.doc_id, k.rel
+            FROM documents d, unnest(string_split(d.text, ' ')) AS t(word),
+                 (VALUES {_KB_VALUES_SQL}) k(word, rel)
+            WHERE t.word = k.word
+        """,
+        "q_stop_anti_join": """
+            SELECT doc_id FROM documents
+            WHERE len(list_filter(string_split(text, ' '),
+                      x -> x IN ('spark', 'join'))) = 0
+        """,
+        "q_fold_split": """
+            SELECT ascii(substring(md5(doc_id::VARCHAR), 1, 1)) % 4 AS fold,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "q_ontology_closure": f"""
+            WITH RECURSIVE
+            edges(term, anc) AS (SELECT * FROM (VALUES {_ONTO_VALUES_SQL})),
+            terms(term) AS (SELECT term FROM edges UNION SELECT anc FROM edges),
+            closure(term, anc) AS (
+                SELECT term, term FROM terms
+                UNION
+                SELECT c.term, e.anc FROM closure c JOIN edges e ON c.anc = e.term
+            )
+            SELECT term, anc FROM closure
+        """,
+        "q_connected_components": f"""
+            WITH RECURSIVE
+            raw(s, d) AS (SELECT * FROM (VALUES {_CC_VALUES_SQL})),
+            e(a, b) AS (SELECT s, d FROM raw WHERE s != d
+                        UNION SELECT d, s FROM raw WHERE s != d),
+            nodes(n) AS (SELECT DISTINCT a FROM e),
+            reach(n, r) AS (
+                SELECT n, n FROM nodes
+                UNION
+                SELECT reach.n, e.b FROM reach JOIN e ON reach.r = e.a
+            )
+            SELECT n AS node, min(r) AS component FROM reach GROUP BY n
+        """,
+        "q_segment_chunking": """
+            WITH w AS (
+              SELECT user_id,
+                     CASE WHEN lag(event_type) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                            IS DISTINCT FROM event_type
+                          THEN 1 ELSE 0 END AS chg
+              FROM events)
+            SELECT user_id, CAST(sum(chg) AS BIGINT) AS n_segments
+            FROM w GROUP BY user_id
+        """,
+        "q_sessionize": """
+            WITH w AS (
+              SELECT user_id,
+                     CASE WHEN lag(ts) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                            IS NULL
+                          OR epoch(ts - lag(ts) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events)
+            SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions
+            FROM w GROUP BY user_id
+        """,
+        "q_window_tumbling": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type, count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                     AS sum_value_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "q_set_ops": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'error'
+            ORDER BY user_id
+        """,
+        "q_topk_users": """
+            SELECT user_id,
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                     AS total_cents
+            FROM events GROUP BY user_id
+            ORDER BY total_cents DESC, user_id LIMIT 10
+        """,
+        "q_confusion_f1": """
+            WITH e AS (
+              SELECT event_type, value > 50.0 AS label,
+                     ascii(substring(md5(event_id::VARCHAR), 1, 1)) % 2 = 0
+                       AS pred
+              FROM events),
+            a AS (
+              SELECT event_type,
+                     CAST(sum(CASE WHEN label AND pred THEN 1 ELSE 0 END)
+                          AS BIGINT) AS tp,
+                     CAST(sum(CASE WHEN NOT label AND pred THEN 1 ELSE 0 END)
+                          AS BIGINT) AS fp,
+                     CAST(sum(CASE WHEN label AND NOT pred THEN 1 ELSE 0 END)
+                          AS BIGINT) AS fn
+              FROM e GROUP BY event_type)
+            SELECT event_type, tp, fp, fn,
+                   round(2.0 * tp / (2 * tp + fp + fn), 4) AS f1
+            FROM a
+        """,
+        "q_json_props": """
+            SELECT event_type,
+                   CAST(sum(CAST(regexp_extract(props, '([0-9]+)', 1)
+                                 AS BIGINT)) AS BIGINT) AS sum_k
+            FROM events GROUP BY event_type
+        """,
+        "q_tpch_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+                        AS BIGINT) AS sum_qty_cents,
+                   CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS sum_price_cents,
+                   count(*) AS n_rows
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_tpch_top_orders": """
+            SELECT l_orderkey,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100,
+                                       0) AS BIGINT)) AS BIGINT)
+                     AS revenue_cents
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey
+            ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
+        """,
+        "q_broadcast_join": """
+            SELECT r_name, count(*) AS n_suppliers
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "q_pair_generation": """
+            SELECT n_name, count(*) AS n_pairs
+            FROM supplier a
+            JOIN supplier b ON a.s_nationkey = b.s_nationkey
+                           AND a.s_suppkey < b.s_suppkey
+            JOIN nation ON a.s_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "q_dedup_exact": """
+            WITH f AS (
+              SELECT doc_id,
+                     md5(array_to_string(string_split(text, ' ')[1:5], ' '))
+                       AS fp
+              FROM documents)
+            SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+            FROM f GROUP BY fp HAVING count(*) > 1
+        """,
+        "q_ngram_jaccard": """
+            WITH d AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' '))
+                         AS shingle
+                       FROM documents WHERE doc_id < 120),
+            sz AS (SELECT doc_id, count(*) AS s FROM d GROUP BY doc_id),
+            i AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+                  FROM d a JOIN d b ON a.shingle = b.shingle
+                                    AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+            SELECT d1, d2,
+                   round(inter * 1.0 / (s1.s + s2.s - inter), 4) AS jaccard
+            FROM i JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+            WHERE round(inter * 1.0 / (s1.s + s2.s - inter), 4) >= 0.6
+        """,
+        "q_minhash_lsh": """
+            WITH dd AS (SELECT doc_id, string_split(text, ' ') AS l
+                        FROM documents WHERE doc_id < 200),
+            idx AS (SELECT doc_id, l, unnest(range(1, len(l) - 1)) AS i FROM dd),
+            sh AS (SELECT DISTINCT doc_id,
+                          l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+                   FROM idx),
+            sig AS (SELECT doc_id,
+                           min(md5(shingle || '#0')) AS h0,
+                           min(md5(shingle || '#1')) AS h1,
+                           min(md5(shingle || '#2')) AS h2,
+                           min(md5(shingle || '#3')) AS h3,
+                           min(md5(shingle || '#4')) AS h4,
+                           min(md5(shingle || '#5')) AS h5,
+                           min(md5(shingle || '#6')) AS h6,
+                           min(md5(shingle || '#7')) AS h7
+                    FROM sh GROUP BY doc_id),
+            banded AS (
+              SELECT doc_id, 0 AS band, h0 || '|' || h1 AS bkey FROM sig
+              UNION ALL
+              SELECT doc_id, 1, h2 || '|' || h3 FROM sig
+              UNION ALL
+              SELECT doc_id, 2, h4 || '|' || h5 FROM sig
+              UNION ALL
+              SELECT doc_id, 3, h6 || '|' || h7 FROM sig),
+            cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                     FROM banded a JOIN banded b
+                       ON a.band = b.band AND a.bkey = b.bkey
+                      AND a.doc_id < b.doc_id),
+            sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+            i AS (SELECT c.d1, c.d2, count(*) AS inter
+                  FROM cand c
+                  JOIN sh a ON a.doc_id = c.d1
+                  JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+                  GROUP BY 1, 2)
+            SELECT d1, d2,
+                   round(inter * 1.0 / (s1.s + s2.s - inter), 4) AS jaccard
+            FROM i JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+            WHERE round(inter * 1.0 / (s1.s + s2.s - inter), 4) >= 0.3
+        """,
+        "q_ann_cosine_topk": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            s AS (SELECT vec_id,
+                         list_dot_product(embedding::DOUBLE[], qe::DOUBLE[])
+                           / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                                    embedding::DOUBLE[]))
+                              * sqrt(list_dot_product(qe::DOUBLE[],
+                                                      qe::DOUBLE[]))) AS sim
+                  FROM embeddings, q WHERE vec_id != 0)
+            SELECT vec_id, round(sim, 4) AS cos_sim
+            FROM s ORDER BY sim DESC, vec_id LIMIT 10
+        """,
+        "q_cosine_neardup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+                       FROM embeddings WHERE vec_id <= 150),
+            p AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+                         round(list_dot_product(a.emb, b.emb)
+                               / (sqrt(list_dot_product(a.emb, a.emb))
+                                  * sqrt(list_dot_product(b.emb, b.emb))), 4)
+                           AS cos_sim
+                  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+            SELECT v1, v2, cos_sim FROM p WHERE cos_sim >= 0.30
+        """,
+        "q_token_count": """
+            SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER)
+                     AS n_tokens
+            FROM documents
+        """,
+        "q_quality_score": f"""
+            WITH b AS (
+              SELECT doc_id, length(text) AS n_chars,
+                     CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+                     length(text)
+                       - length(regexp_replace(text, '[aeiou]', '', 'g'))
+                       AS vowels,
+                     len(list_filter(string_split(text, ' '),
+                         x -> list_contains({_EN_STOP_SQL}, x))) AS stop_hits
+              FROM documents)
+            SELECT doc_id, n_chars, n_tokens,
+                   round(vowels / n_chars, 4) AS vowel_ratio,
+                   round(stop_hits / n_tokens, 4) AS stopword_ratio,
+                   round((stop_hits / n_tokens) * 0.5
+                         + (vowels / n_chars) * 0.5, 4) AS quality
+            FROM b
+        """,
+        "q_lang_id": f"""
+            WITH b AS (
+              SELECT doc_id,
+                     len(list_filter(string_split(text, ' '),
+                         x -> list_contains({_EN_STOP_SQL}, x)))
+                       * 1.0 / len(string_split(text, ' ')) AS score
+              FROM documents)
+            SELECT doc_id, round(score, 4) AS en_score,
+                   CASE WHEN score >= 0.08 THEN 'en' ELSE 'other' END
+                     AS lang_pred
+            FROM b
+        """,
+        "q_fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+                     AS fp
+            FROM documents
+        """,
+        "q_multimodal_meta": """
+            SELECT doc_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS media_type,
+                   CAST(8 + doc_id % 16 AS INTEGER) AS width,
+                   CAST(8 + (doc_id // 3) % 16 AS INTEGER) AS height,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+                             ELSE 1 + doc_id % 5 END AS INTEGER) AS n_frames,
+                   CAST(16 + (8 + doc_id % 16) * (8 + (doc_id // 3) % 16)
+                        * (CASE WHEN doc_id % 3 = 0 THEN 1
+                                ELSE 1 + doc_id % 5 END) AS BIGINT) AS n_bytes,
+                   TRUE AS valid
+            FROM documents
+        """,
+    }

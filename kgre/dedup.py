@@ -1,0 +1,244 @@
+"""Deduplication operators for web-scale training-data pipelines:
+exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design:
+  * exact dedup: one shuffle keyed by content hash (map-side combine).
+  * n-gram Jaccard: token/shingle inverted index self-join — the join key
+    is the shingle, so common shingles dominate; at 100 TB you run
+    MinHash+LSH instead and reserve the exact-Jaccard join for verify.
+  * MinHash+LSH: signatures are per-row (no shuffle), banding groups rows
+    by band key (one shuffle on band buckets), candidate pairs are
+    verified with true Jaccard only within buckets — the classic
+    shingle -> minhash -> band -> bucket-join pipeline.  MinHash values
+    are lexicographic minima of md5 hex strings so the DuckDB oracle
+    reproduces them exactly (no engine-specific hash).
+  * SimHash: 64-bit bit-majority fingerprint in a vectorized pandas UDF;
+    near-dup pairs via 16-bit band blocking + Hamming verify.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """Content-hash groups with >1 member: (fp, n_docs, min_doc_id)."""
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "")
+    return (
+        docs.select("doc_id", F.md5(norm).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ------------------------------------------------------------- shingling
+
+
+def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct n-word shingles via lead() windows so
+    the DuckDB oracle (lead over unnest WITH ORDINALITY) is expressible."""
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("ord", "word")
+    )
+    w = Window.partitionBy("doc_id").orderBy("ord")
+    cols = [F.col("word")] + [F.lead("word", i).over(w) for i in range(1, n)]
+    return (
+        tok.select("doc_id", F.concat_ws(" ", *cols).alias("shingle"),
+                   F.lead("word", n - 1).over(w).isNotNull().alias("_ok"))
+        .filter("_ok")
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+
+
+def jaccard_pairs(docs: DataFrame, n: int = 1, threshold: float = 0.6) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index self-join."""
+    if n == 1:
+        sh = docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("shingle")
+        ).distinct()
+    else:
+        sh = word_shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "d1")
+                   .withColumnRenamed("sz", "sz1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2")
+              .withColumnRenamed("sz", "sz2"), "d2")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+# ---------------------------------------------------------- MinHash + LSH
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 8,
+                       shingle_n: int = 3) -> DataFrame:
+    """(doc_id, sig array<string>): per seed, the lexicographic min of
+    md5(shingle || '#' || seed) — engine-portable MinHash."""
+    sh = word_shingles(docs, shingle_n)
+    mins = [
+        F.min(F.md5(F.concat_ws("#", "shingle", F.lit(str(i))))).alias("h%d" % i)
+        for i in range(n_hashes)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col("h%d" % i) for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = 8, bands: int = 4,
+                        shingle_n: int = 3) -> DataFrame:
+    """Band the signature (rows = n_hashes/bands), bucket-join docs sharing
+    any band key -> distinct candidate pairs."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(docs, n_hashes, shingle_n)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col("sig")[i] for i in range(b * rows_per_band,
+                                                (b + 1) * rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"),
+                     F.concat_ws("|", *parts).alias("key")).alias("b%d" % b)
+        )
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
+def minhash_near_dups(docs: DataFrame, threshold: float = 0.6,
+                      n_hashes: int = 8, bands: int = 4,
+                      shingle_n: int = 3) -> DataFrame:
+    """LSH candidates verified with true shingle Jaccard (computed only
+    within buckets — the scale path)."""
+    cands = lsh_candidate_pairs(docs, n_hashes, bands, shingle_n)
+    sh = word_shingles(docs, shingle_n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("ad"), F.col("shingle").alias("ash"))
+    b = sh.select(F.col("doc_id").alias("bd"), F.col("shingle").alias("bsh"))
+    inter = (
+        cands.join(a, F.col("d1") == F.col("ad"))
+        .join(b, (F.col("d2") == F.col("bd")) & (F.col("ash") == F.col("bsh")))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "d1")
+                   .withColumnRenamed("sz", "sz1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2")
+              .withColumnRenamed("sz", "sz2"), "d2")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------- SimHash
+
+
+def _simhash64(tokens: list[str]) -> int:
+    """64-bit bit-majority simhash over md5 token hashes (pure python/numpy,
+    deterministic)."""
+    import hashlib
+
+    if not tokens:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for t in set(tokens):
+        h = np.uint64(int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big"))
+        bits = (h >> shifts) & np.uint64(1)
+        acc += np.where(bits == 1, 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash bigint) via a vectorized pandas UDF (Arrow batches)."""
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    # store as signed 64-bit for Spark LongType
+                    "simhash": [
+                        np.int64(_simhash64(t.split(" ")) - (1 << 63))
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, simhash long"
+    )
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 16-bit bands (a pair within
+    Hamming<=3 of 64 bits shares at least one of 4 bands), verify Hamming
+    with bit_count (JVM-side)."""
+    fp = simhash_fingerprints(docs)
+    bands = fp.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF))
+                    .alias("key"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"),
+                F.col("a.simhash").alias("h1"), F.col("b.simhash").alias("h2"))
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+    )

@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (array<float>).
+
+  * brute-force cosine top-k: the exact baseline — JVM-side zip_with /
+    aggregate dot product, no Python.  At cluster scale the query side is
+    a broadcast (one row or a small batch), so this is a map-only pass +
+    top-k (TakeOrderedAndProject) — no shuffle of the corpus.
+  * LSH-bucketed ANN: deterministic random-hyperplane signatures
+    (sign-bit buckets); candidates compared only within their bucket —
+    the scale path: bucketing is one narrow pass, the per-bucket rerank
+    joins on bucket id.  Hyperplanes derive from md5 so the index is
+    reproducible with no stored state.
+  * embedding-cosine near-dup: all-pairs cosine >= threshold via
+    self-join; at 100 TB you bucket first (ann_buckets) and verify within
+    buckets exactly like MinHash-LSH.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgre.util import hunif
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(embs: DataFrame, query_id: int, k: int = 10) -> DataFrame:
+    """Top-k neighbors of one vector by cosine, excluding itself.
+    Deterministic ordering: (sim desc, vec_id asc)."""
+    q = embs.filter(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        embs.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != query_id)
+        .select(
+            "vec_id",
+            (
+                _dot(F.col("embedding"), F.col("q_emb"))
+                / (_norm(F.col("embedding")) * _norm(F.col("q_emb")))
+            ).alias("_sim"),
+        )
+    )
+    # order by the UNROUNDED similarity (ties after rounding would make
+    # the top-k cut engine-dependent); round only for output
+    return (
+        scored.orderBy(F.desc("_sim"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("_sim", 4).alias("cos_sim"))
+    )
+
+
+def cosine_neardup_pairs(embs: DataFrame, threshold: float = 0.9,
+                         max_id: int | None = None) -> DataFrame:
+    """All-pairs cosine >= threshold (exact).  O(n^2) — cap with max_id for
+    tests; the production path buckets first (see ann_buckets)."""
+    e = embs if max_id is None else embs.filter(F.col("vec_id") <= max_id)
+    a = e.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
+    b = e.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
+    return (
+        a.join(b, F.col("v1") < F.col("v2"))
+        .select(
+            "v1", "v2",
+            F.round(
+                _dot(F.col("e1"), F.col("e2"))
+                / (_norm(F.col("e1")) * _norm(F.col("e2"))),
+                4,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+# ------------------------------------------------------------- LSH / ANN
+
+
+def _hyperplanes(n_planes: int, dim: int) -> np.ndarray:
+    """Deterministic hyperplane matrix from md5 (no stored index state)."""
+    w = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        for d in range(dim):
+            w[p, d] = hunif("hp|%d|%d" % (p, d)) * 2.0 - 1.0
+    return w
+
+
+def ann_buckets(embs: DataFrame, n_planes: int = 8) -> DataFrame:
+    """(vec_id, bucket): sign-bit signature of random-hyperplane
+    projections, computed in one Arrow-vectorized pass (numpy matmul per
+    batch — no per-row Python)."""
+    spark = embs.sparkSession
+    dim = len(embs.select("embedding").first()["embedding"])
+    b_w = spark.sparkContext.broadcast(_hyperplanes(n_planes, dim))
+
+    def run(batches):
+        w = b_w.value
+        for pdf in batches:
+            mat = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+            bits = (mat @ w.T) > 0
+            bucket = bits @ (1 << np.arange(bits.shape[1]))
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "bucket": bucket.astype(np.int64)})
+
+    return embs.select("vec_id", "embedding").mapInPandas(
+        run, schema="vec_id long, bucket long"
+    )
+
+
+def ann_topk(embs: DataFrame, query_id: int, k: int = 10,
+             n_planes: int = 8) -> DataFrame:
+    """Approximate top-k: exact cosine rerank within the query's LSH
+    bucket.  Recall vs brute force is measured in tests."""
+    buckets = ann_buckets(embs, n_planes)
+    q_bucket = buckets.filter(F.col("vec_id") == query_id).select(
+        F.col("bucket").alias("q_bucket")
+    )
+    in_bucket = (
+        buckets.join(F.broadcast(q_bucket),
+                     F.col("bucket") == F.col("q_bucket"))
+        .select("vec_id")
+    )
+    cand = embs.join(in_bucket, "vec_id")
+    return cosine_topk(cand, query_id, k)

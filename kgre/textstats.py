@@ -1,0 +1,70 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID heuristic, quality scoring, token counting, fingerprinting.
+
+All pure Catalyst expressions (JVM-side, whole-stage codegen, no Python) —
+these run over the full corpus at 100 TB, so staying out of UDF space
+matters more here than anywhere.  Every operator has a DuckDB oracle twin
+in __spark_entry__.oracle_sql(); floats are rounded identically on both
+sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# deterministic English function-word list shared with the SQL oracles
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "on", "with", "for",
+                "is", "was"]
+
+
+def tokens_col(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace token count per document (SURVEY.md A-family analog)."""
+    return docs.select(
+        "doc_id", F.size(tokens_col()).alias("n_tokens")
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length / vowel-ratio / stopword-ratio quality features + a composite
+    score; everything in built-in expressions."""
+    toks = tokens_col()
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    vowels = n_chars - F.length(F.regexp_replace(F.col("text"), "[aeiou]", ""))
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(EN_STOPWORDS))
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(vowels / n_chars, 4).alias("vowel_ratio"),
+        F.round(stop_hits / n_tokens, 4).alias("stopword_ratio"),
+        F.round(
+            (stop_hits / n_tokens) * 0.5 + (vowels / n_chars) * 0.5, 4
+        ).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, threshold: float = 0.08) -> DataFrame:
+    """N-gram-free language-ID heuristic: English stopword density."""
+    toks = tokens_col()
+    score = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS))) / F.size(toks)
+    return docs.select(
+        "doc_id",
+        F.round(score, 4).alias("en_score"),
+        F.when(score >= threshold, F.lit("en")).otherwise(F.lit("other"))
+        .alias("lang_pred"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 over case/punctuation-normalized text
+    (the stable identity used for exact dedup and lineage)."""
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "")
+    return docs.select("doc_id", F.md5(norm).alias("fp"))

@@ -1,0 +1,242 @@
+"""Tests for the training-data-pipeline operators and north-star
+extensions: dedup, similarity, connected components, entity linking,
+multimodal plumbing, lineage/resume."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgre import canon, dedup, linking, multimodal, similarity
+from kgre.lineage import run_stage_with_resume, completed_buckets
+
+
+def _docs_df(spark):
+    rows = [
+        (0, "the red fox jumps over the lazy dog", "en"),
+        (1, "the red fox jumps over the lazy dog", "en"),      # exact dup of 0
+        (2, "the red fox jumps over the lazy cat", "en"),      # near dup
+        (3, "completely different words entirely here now", "en"),
+        (4, "the red fox jumps over the lazy dog today", "en"),  # near dup
+        (5, "alpha beta gamma delta epsilon zeta eta theta", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+# ------------------------------------------------------------------ dedup
+
+
+def test_exact_dup_groups(spark):
+    groups = dedup.exact_dup_groups(_docs_df(spark)).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2 and groups[0]["keep_doc_id"] == 0
+
+
+def test_jaccard_pairs_vs_python(spark):
+    df = _docs_df(spark)
+    got = {(r["d1"], r["d2"]): r["jaccard"]
+           for r in dedup.jaccard_pairs(df, n=1, threshold=0.5).collect()}
+    texts = {r["doc_id"]: set(r["text"].split()) for r in df.collect()}
+    want = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        j = len(texts[a] & texts[b]) / len(texts[a] | texts[b])
+        if round(j, 4) >= 0.5:
+            want[(a, b)] = round(j, 4)
+    assert got == want and (0, 1) in got
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(spark):
+    got = {(r["d1"], r["d2"]) for r in
+           dedup.minhash_near_dups(_docs_df(spark), threshold=0.5,
+                                   shingle_n=2).collect()}
+    assert (0, 1) in got            # identical docs always collide
+    assert all(d not in (3, 5) for pair in got for d in pair)
+
+
+def test_simhash_vs_python_and_symmetry(spark):
+    df = _docs_df(spark)
+    fps = {r["doc_id"]: r["simhash"]
+           for r in dedup.simhash_fingerprints(df).collect()}
+    # identical text -> identical fingerprint
+    assert fps[0] == fps[1]
+    # matches the pure-python reference
+    for r in df.collect():
+        want = dedup._simhash64(r["text"].split(" "))
+        assert fps[r["doc_id"]] == want - (1 << 63)
+    pairs = {(r["d1"], r["d2"]): r["hamming"]
+             for r in dedup.simhash_near_dups(df, max_hamming=10).collect()}
+    assert pairs.get((0, 1)) == 0
+
+
+# -------------------------------------------------------------- similarity
+
+
+def test_cosine_topk_matches_numpy(spark):
+    import numpy as np
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(30, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    got = [(r["vec_id"], r["cos_sim"])
+           for r in similarity.cosine_topk(df, 0, 5).collect()]
+    v0 = vecs[0].astype("float64")
+    sims = {}
+    for i in range(1, 30):
+        v = vecs[i].astype("float64")
+        sims[i] = float(v @ v0 / (np.linalg.norm(v) * np.linalg.norm(v0)))
+    want = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[1] - w[1]) < 1e-4
+
+
+def test_ann_topk_recall_against_brute_force(spark):
+    import numpy as np
+    rng = np.random.RandomState(11)
+    base = rng.randn(10, 16)
+    # clustered vectors: 10 clusters x 8 members with small noise
+    rows = []
+    vid = 0
+    for c in range(10):
+        for _ in range(8):
+            v = base[c] + rng.randn(16) * 0.05
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {r["vec_id"] for r in similarity.cosine_topk(df, 0, 5).collect()}
+    approx = {r["vec_id"] for r in similarity.ann_topk(df, 0, 5,
+                                                       n_planes=4).collect()}
+    # same-cluster neighbors land in the query's hyperplane bucket
+    assert len(exact & approx) >= 3
+
+
+# ---------------------------------------------------- connected components
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_vs_union_find(spark):
+    import random
+    rng = random.Random(42)
+    edges = [("n%d" % rng.randint(0, 60), "n%d" % rng.randint(0, 60))
+             for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["component"]
+           for r in canon.connected_components(df).collect()}
+    want = _union_find(edges)
+    assert got == want
+
+
+def test_canonicalize_triples(spark):
+    triples = spark.createDataFrame(
+        [("e1", "r", "e9"), ("e2", "r", "e3")],
+        "subj string, rel string, obj string")
+    same_as = spark.createDataFrame([("e1", "e2")], "src string, dst string")
+    out = {(r["subj_canon"], r["obj_canon"])
+           for r in canon.canonicalize_triples(triples, same_as).collect()}
+    assert out == {("e1", "e9"), ("e1", "e3")}
+
+
+# ------------------------------------------------------------ entity linking
+
+
+def test_link_mentions_exact_and_noisy(spark):
+    dictionary = spark.createDataFrame(
+        [(1, "red widget"), (2, "blue bolt"), (3, "small ring")],
+        "entity_id long, alias string")
+    mentions = spark.createDataFrame(
+        [(10, "red widget"), (11, "RED WIDGET item"), (12, "blue bolts"),
+         (13, "zzzz qqqq")],
+        "mention_id long, phrase string")
+    got = {r["mention_id"]: r["entity_id"]
+           for r in linking.link_mentions(mentions, dictionary,
+                                          threshold=0.4).collect()}
+    assert got.get(10) == 1
+    assert got.get(11) == 1
+    assert got.get(12) == 2
+    assert 13 not in got
+
+
+# ---------------------------------------------------------------- multimodal
+
+
+def test_multimodal_roundtrip(spark):
+    docs = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
+    meta = {r["doc_id"]: r.asDict()
+            for r in multimodal.decode_metadata(
+                multimodal.blobs_from_documents(docs)).collect()}
+    assert len(meta) == 30
+    for d, m in meta.items():
+        assert m["valid"]
+        assert m["width"] == 8 + d % 16
+        assert m["height"] == 8 + (d // 3) % 16
+        assert m["n_bytes"] == 16 + m["width"] * m["height"] * m["n_frames"]
+    frames = multimodal.frame_sample(
+        multimodal.blobs_from_documents(docs), every_k=2).collect()
+    video_ids = {d for d in range(30) if d % 3 == 2}
+    assert {r["doc_id"] for r in frames} <= video_ids
+    for r in frames:
+        assert r["frame_idx"] % 2 == 0
+        assert 0.0 <= r["mean_intensity"] <= 255.0
+
+
+def test_real_feature_stub_raises(spark):
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_real_features(None)
+
+
+# ------------------------------------------------------------------ lineage
+
+
+def test_lineage_resume_skips_completed_buckets(spark, tmp_path):
+    out_dir = str(tmp_path / "out")
+    man_dir = str(tmp_path / "manifest")
+    inputs = spark.createDataFrame(
+        [("u%d" % i, i) for i in range(100)], "url string, v int")
+
+    calls = []
+
+    def transform(df):
+        calls.append(1)
+        return df.withColumn("v2", F.col("v") * 2)
+
+    out1 = run_stage_with_resume(spark, inputs, "stage1", transform,
+                                 out_dir, man_dir, n_buckets=4)
+    assert out1.count() == 100
+    assert len(calls) == 4
+    assert completed_buckets(spark, man_dir, "stage1") == {0, 1, 2, 3}
+
+    # re-run: everything already complete -> transform never called again
+    calls.clear()
+    out2 = run_stage_with_resume(spark, inputs, "stage1", transform,
+                                 out_dir, man_dir, n_buckets=4)
+    assert out2.count() == 100
+    assert calls == []
+
+    # manifest rows carry metrics
+    m = spark.read.parquet(man_dir)
+    rows = m.filter(F.col("stage") == "stage1").collect()
+    assert len(rows) == 4
+    assert sum(r["rows_in"] for r in rows) == 100
+    assert sum(r["rows_out"] for r in rows) == 100
+    assert all(r["status"] == "ok" for r in rows)
