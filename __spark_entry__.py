@@ -676,6 +676,64 @@ def oracle_sql() -> dict[str, str]:
                      AS fp
             FROM documents
         """,
+        "q_entity_linking": """
+            WITH m0 AS (SELECT p_partkey AS mid,
+                               lower(regexp_replace(upper(p_name) || ' item',
+                                     '[^a-zA-Z0-9]', '', 'g')) AS p
+                        FROM part),
+            d0 AS (SELECT p_partkey AS eid,
+                          lower(regexp_replace(p_name,
+                                '[^a-zA-Z0-9]', '', 'g')) AS p
+                   FROM part),
+            msh AS (SELECT DISTINCT mid, substring(p, i, 3) AS shingle
+                    FROM m0, unnest(range(1, length(p) - 1)) AS t(i)
+                    WHERE length(p) >= 3),
+            dsh AS (SELECT DISTINCT eid, substring(p, i, 3) AS shingle
+                    FROM d0, unnest(range(1, length(p) - 1)) AS t(i)
+                    WHERE length(p) >= 3),
+            msig AS (SELECT mid,
+                            min(md5(shingle || '#0')) AS h0,
+                            min(md5(shingle || '#1')) AS h1,
+                            min(md5(shingle || '#2')) AS h2,
+                            min(md5(shingle || '#3')) AS h3,
+                            min(md5(shingle || '#4')) AS h4,
+                            min(md5(shingle || '#5')) AS h5
+                     FROM msh GROUP BY mid),
+            dsig AS (SELECT eid,
+                            min(md5(shingle || '#0')) AS h0,
+                            min(md5(shingle || '#1')) AS h1,
+                            min(md5(shingle || '#2')) AS h2,
+                            min(md5(shingle || '#3')) AS h3,
+                            min(md5(shingle || '#4')) AS h4,
+                            min(md5(shingle || '#5')) AS h5
+                     FROM dsh GROUP BY eid),
+            mb AS (SELECT mid, 0 AS band, h0 || '|' || h1 AS key FROM msig
+                   UNION ALL SELECT mid, 1, h2 || '|' || h3 FROM msig
+                   UNION ALL SELECT mid, 2, h4 || '|' || h5 FROM msig),
+            db AS (SELECT eid, 0 AS band, h0 || '|' || h1 AS key FROM dsig
+                   UNION ALL SELECT eid, 1, h2 || '|' || h3 FROM dsig
+                   UNION ALL SELECT eid, 2, h4 || '|' || h5 FROM dsig),
+            cand AS (SELECT DISTINCT mid, eid
+                     FROM mb JOIN db USING (band, key)),
+            msz AS (SELECT mid, count(*) AS m_sz FROM msh GROUP BY mid),
+            dsz AS (SELECT eid, count(*) AS d_sz FROM dsh GROUP BY eid),
+            i AS (SELECT c.mid, c.eid, count(*) AS inter
+                  FROM cand c
+                  JOIN msh a ON a.mid = c.mid
+                  JOIN dsh b ON b.eid = c.eid AND b.shingle = a.shingle
+                  GROUP BY c.mid, c.eid),
+            sc AS (SELECT i.mid, i.eid,
+                          round(i.inter * 1.0
+                                / (msz.m_sz + dsz.d_sz - i.inter), 4)
+                            AS jaccard
+                   FROM i JOIN msz USING (mid) JOIN dsz USING (eid)),
+            best AS (SELECT mid, eid, jaccard,
+                            row_number() OVER (PARTITION BY mid
+                                ORDER BY jaccard DESC, eid) AS rk
+                     FROM sc WHERE jaccard >= 0.4)
+            SELECT mid AS mention_id, eid AS entity_id, jaccard
+            FROM best WHERE rk = 1
+        """,
         "q_multimodal_meta": """
             SELECT doc_id,
                    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

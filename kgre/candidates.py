@@ -160,7 +160,8 @@ def sentence_candidates(url, sent_id, tokens, deps, entity_a, entity_b, stop):
     reverse rows carry gene_to_gene so the scorer can drop non-gene-gene
     reverse instances while the vocab builder keeps them,
     load_data.py:201-212)."""
-    tokens = [dict(t) for t in tokens]
+    if len(tokens) and not isinstance(tokens[0], dict):
+        tokens = [dict(t) for t in tokens]  # Arrow struct rows -> dicts
     ents = _chunk_mentions(tokens)
     t1 = sorted(k for k in ents if entity_a in k)
     t2 = sorted(k for k in ents if entity_b in k)
@@ -235,6 +236,15 @@ def candidates_from_sentences(sentences: DataFrame, entity_a: str,
                     sentence_candidates(url, int(sid), toks, deps, entity_a,
                                         entity_b, stop)
                 )
-            yield pd.DataFrame(rows, columns=_COLS)
+            yield rows_to_pdf(rows)
 
     return sentences.mapInPandas(run, schema=CANDIDATES_SCHEMA)
+
+
+def rows_to_pdf(rows) -> pd.DataFrame:
+    """list-of-dict candidate rows -> pandas frame, built COLUMNAR (dict of
+    lists). pd.DataFrame(list_of_dicts) re-infers per row and is the
+    slowest constructor — this is the hot Arrow boundary."""
+    if not rows:
+        return pd.DataFrame({c: [] for c in _COLS})
+    return pd.DataFrame({c: [r[c] for r in rows] for c in _COLS})

@@ -1,0 +1,137 @@
+"""spark-submit entry point mirroring the reference CLI's mode dispatch
+(reference ``relation_extraction.py:430-565`` — TRAIN_* / TEST / PREDICT /
+EVAL_DATA via ``sys.argv[1]``).
+
+Usage (north_rule: "run via spark-submit --py-files"):
+
+    zip -r kgre.zip kgre
+    spark-submit --py-files kgre.zip -m kgre.cli <mode> [options]
+    # or: spark-submit --py-files kgre.zip path/to/kgre/cli.py <mode> ...
+
+Modes:
+  build      corpus pass: pages -> candidates checkpoint + vocab table
+             (reference TRAIN_FEED_FORWARD's two corpus passes collapsed to
+             one materialized candidates table, relation_extraction.py:336-427)
+  score      candidates/pages -> scored triples partitioned by rel
+             (reference TEST, relation_extraction.py:508-537; sink S13 :21-47)
+  predict    like score but keeps every pair (label=-1 semantics) and adds
+             the ***entity*** highlighted sentence column
+             (reference PREDICT, relation_extraction.py:539-562, S14)
+  eval-data  entity distribution sinks (reference EVAL_DATA,
+             relation_extraction.py:217-250, S15)
+
+Input pages: --pages <parquet dir> with columns
+(url, warc_ts, html, text, lang), or --synth N for the deterministic
+generator corpus (no external data).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import functions as F
+
+from kgre import synthgen, webtext
+from kgre.pipeline import KgPipeline, pages_to_candidates, write_triples
+from kgre.score import emitted_triples
+from kgre.session import get_spark
+from kgre.vocab import build_vocab
+
+
+def _load_pages(spark, args):
+    if args.pages:
+        return spark.read.parquet(args.pages)
+    if args.documents:
+        return webtext.pages_from_documents(spark.read.parquet(args.documents))
+    return synthgen.pages_df(spark, args.synth)
+
+
+def _pipe(spark, args) -> KgPipeline:
+    return KgPipeline(spark, entity_a=args.entity_a, entity_b=args.entity_b,
+                      occur_count=args.occur_count)
+
+
+def mode_build(spark, args):
+    pages = _load_pages(spark, args)
+    cands = pages_to_candidates(pages, args.entity_a, args.entity_b,
+                                synthgen.stop_entity_ids())
+    cands.write.mode("overwrite").parquet(args.out + "/candidates")
+    cands = spark.read.parquet(args.out + "/candidates")
+    build_vocab(cands, args.occur_count).write.mode("overwrite").parquet(
+        args.out + "/vocab")
+    print("BUILD ok: candidates=%d vocab=%d" % (
+        cands.count(), spark.read.parquet(args.out + "/vocab").count()))
+
+
+def mode_score(spark, args):
+    pages = _load_pages(spark, args)
+    pipe = _pipe(spark, args)
+    scored, vocab_df, key_order = pipe.run(
+        pages, synthgen.kb_rows(), synthgen.ontology_rows(),
+        synthgen.stop_entity_ids(),
+        checkpoint_dir=(args.out + "/candidates") if args.checkpoint else None)
+    write_triples(emitted_triples(scored), args.out + "/triples")
+    n = spark.read.parquet(args.out + "/triples").count()
+    print("SCORE ok: emitted=%d rels=%d" % (n, len(key_order)))
+
+
+def mode_predict(spark, args):
+    pages = _load_pages(spark, args)
+    pipe = _pipe(spark, args)
+    scored, _, _ = pipe.run(pages, synthgen.kb_rows(),
+                            synthgen.ontology_rows(),
+                            synthgen.stop_entity_ids())
+    # rich sink S14: all pairs with probabilities, no 0.5 gate
+    # (reference relation_extraction.py:548-562 writes every instance)
+    out = scored.withColumn(
+        "display",
+        F.concat_ws("\t", "url", "subj", "obj", "rel",
+                    F.round("prob", 6).cast("string")))
+    out.write.mode("overwrite").partitionBy("rel").parquet(
+        args.out + "/predictions")
+    print("PREDICT ok: rows=%d" %
+          spark.read.parquet(args.out + "/predictions").count())
+
+
+def mode_eval_data(spark, args):
+    pages = _load_pages(spark, args)
+    cands = pages_to_candidates(pages, args.entity_a, args.entity_b,
+                                synthgen.stop_entity_ids())
+    # S15 (relation_extraction.py:217-250): per-side entity occurrence
+    # distribution, count ascending
+    for side in ("subj", "obj"):
+        (cands.groupBy(side).agg(F.count("*").alias("cnt"))
+         .orderBy("cnt", side)
+         .write.mode("overwrite").parquet(f"{args.out}/dist_{side}"))
+    print("EVAL_DATA ok")
+
+
+MODES = {"build": mode_build, "score": mode_score, "predict": mode_predict,
+         "eval-data": mode_eval_data}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="kgre", description=__doc__)
+    p.add_argument("mode", choices=sorted(MODES))
+    p.add_argument("--pages", help="parquet dir of pages")
+    p.add_argument("--documents", help="parquet file of driver documents")
+    p.add_argument("--synth", type=int, default=200,
+                   help="generate N synthetic pages when no input given")
+    p.add_argument("--out", default="/tmp/kgre_cli_out")
+    p.add_argument("--entity-a", default="GENE")
+    p.add_argument("--entity-b", default="ONTOLOGY")
+    p.add_argument("--occur-count", type=int, default=5,
+                   help="vocab min count (reference uses 100 at corpus scale)")
+    p.add_argument("--checkpoint", action="store_true",
+                   help="materialize the candidates stage to parquet "
+                        "(the reference's TFRecord boundary)")
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+    spark = get_spark("kgre-" + args.mode, master=args.master)
+    MODES[args.mode](spark, args)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -121,3 +121,50 @@ def label_join(candidates: DataFrame, expanded_kb: DataFrame) -> DataFrame:
         F.max(F.when(~F.col("is_reverse"), 1).otherwise(0)).alias("fwd_hit"),
         F.max(F.when(F.col("is_reverse"), 1).otherwise(0)).alias("rev_hit"),
     )
+
+
+# ------------------------------------------------------- driver-side prep
+# The KB and ontology are definitionally dictionary-sized (the reference
+# holds them in driver RAM as Python sets, load_data.py:399-434); preparing
+# them must not spend Spark jobs. The DataFrame twins above remain for the
+# declarative/oracle-checked path and for KBs that outgrow the driver.
+
+
+def ontology_closure_dict(onto_rows) -> dict[str, set]:
+    """load_data.py:796-826 with a cycle guard added (SURVEY.md S7 note)."""
+    parents: dict[str, set] = {}
+    for r in onto_rows:
+        parents.setdefault(r["term"], set()).add(r["is_a"])
+        parents.setdefault(r["is_a"], set())
+    closure: dict[str, set] = {}
+    for term in parents:
+        path, stack = set(), [term]
+        while stack:
+            t = stack.pop()
+            if t in path:
+                continue
+            path.add(t)
+            stack.extend(parents.get(t, ()))
+        closure[term] = path
+    return closure
+
+
+def load_kb_sets(kb_rows_list, closure: dict[str, set]):
+    """load_data.py:399-434,487-516 — per-relation forward/reverse tuple
+    sets; endpoint ontology-closure expansion; rel_text endswith 'by' ->
+    reverse set."""
+    import itertools
+
+    fwd: dict[str, set] = {}
+    rev: dict[str, set] = {}
+    for r in kb_rows_list:
+        fwd.setdefault(r["rel"], set())
+        rev.setdefault(r["rel"], set())
+        ea = closure.get(r["e1"], {r["e1"]}) | {r["e1"]}
+        eb = closure.get(r["e2"], {r["e2"]}) | {r["e2"]}
+        for tup in itertools.product(ea, eb):
+            if r["rel_text"].endswith("by"):
+                rev[r["rel"]].add(tup)
+            else:
+                fwd[r["rel"]].add(tup)
+    return fwd, rev

@@ -27,8 +27,11 @@ Surface-form grammar recognized by the tagger (what synthgen emits):
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
-from kgre.util import hrange
+import numpy as np
+
+from kgre.util import h48, hrange, hseq_mat
 
 _GENE_RE = re.compile(r"^GENE([0-9]+)$")
 _VGENE_RE = re.compile(r"^VGENE([0-9]+)$")
@@ -46,8 +49,10 @@ _DROP_MOD = 13
 _EXTRA_MOD = 7
 
 
+@lru_cache(maxsize=1 << 16)
 def tag_word(word: str):
-    """word -> (lemma, pos, ner, norm_ner); pure function of the word."""
+    """word -> (lemma, pos, ner, norm_ner); pure function of the word
+    (cached — corpus vocabulary is far smaller than token count)."""
     m = _GENE_RE.match(word)
     if m:
         k = int(m.group(1))
@@ -103,19 +108,33 @@ def build_deps(sent_text: str, n_tokens: int) -> list[dict]:
     deps = []
     if n_tokens >= 1:
         deps.append({"type": "root", "gov": 0, "dep": 1})
-    for i in range(2, n_tokens + 1):
-        if hrange("drop|%s|%d" % (sent_text, i), _DROP_MOD) == 0:
-            continue
-        gov = 1 + hrange("gov|%s|%d" % (sent_text, i), i - 1)
-        typ = _DEP_TYPES[hrange("typ|%s|%d" % (sent_text, i), len(_DEP_TYPES))]
-        deps.append({"type": typ, "gov": gov, "dep": i})
-    for i in range(3, n_tokens + 1):
-        if hrange("xtra|%s|%d" % (sent_text, i), _EXTRA_MOD) == 0:
-            tgt = 1 + hrange("xgov|%s|%d" % (sent_text, i), i - 1)
-            typ = _DEP_TYPES[hrange("xtyp|%s|%d" % (sent_text, i), len(_DEP_TYPES))]
-            # direction (i -> tgt): token i governs an earlier token,
-            # populating both forward and '-'-prefixed reverse cells
-            deps.append({"type": typ, "gov": i, "dep": tgt})
+    if n_tokens < 2:
+        return deps
+    # hash the sentence ONCE; per-token draws are integer-mixed from it,
+    # vectorized across token indexes (pure function of the sentence text,
+    # like the string-keyed original; hseq_vec is bit-identical to hseq)
+    base = h48("deps|" + sent_text)
+    idx = np.arange(2, n_tokens + 1, dtype=np.uint64)
+    m = hseq_mat(base, idx, (1, 2, 3, 4, 5, 6))
+    n_types = np.uint64(len(_DEP_TYPES))
+    keep = (m[0] % np.uint64(_DROP_MOD) != 0).tolist()
+    gov = (1 + m[1] % (idx - np.uint64(1))).tolist()
+    typ = (m[2] % n_types).tolist()
+    ids = idx.tolist()
+    for k in range(n_tokens - 1):
+        if keep[k]:
+            deps.append({"type": _DEP_TYPES[typ[k]],
+                         "gov": gov[k], "dep": ids[k]})
+    if n_tokens >= 3:
+        xtra = (m[3, 1:] % np.uint64(_EXTRA_MOD) == 0).tolist()
+        tgt = (1 + m[4, 1:] % (idx[1:] - np.uint64(1))).tolist()
+        xtyp = (m[5, 1:] % n_types).tolist()
+        for k in range(n_tokens - 2):
+            if xtra[k]:
+                # direction (i -> tgt): token i governs an earlier token,
+                # populating both forward and '-'-prefixed reverse cells
+                deps.append({"type": _DEP_TYPES[xtyp[k]],
+                             "gov": ids[k + 1], "dep": tgt[k]})
     return deps
 
 

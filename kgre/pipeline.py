@@ -23,15 +23,26 @@ from pyspark.sql import functions as F
 
 from kgre import kb as kbmod
 from kgre import nlp
-from kgre.candidates import CANDIDATES_SCHEMA, _COLS, sentence_candidates
+from kgre.candidates import (CANDIDATES_SCHEMA, rows_to_pdf,
+                             sentence_candidates)
 from kgre.extract import extract_text_from_html
 from kgre.score import score_candidates
+from kgre.util import ensure_min_partitions
 from kgre.vocab import build_vocab, collect_vocab_sets
 
 
 def pages_to_candidates(pages: DataFrame, entity_a: str, entity_b: str,
-                        stop_ids, lang: str = "en") -> DataFrame:
-    """Fused extract+parse+candidate stage (1 Python crossing)."""
+                        stop_ids, lang: str = "en",
+                        min_partitions: int | None = None) -> DataFrame:
+    """Fused extract+parse+candidate stage (1 Python crossing).
+
+    ``min_partitions``: the Python stage is the expensive one, so its
+    parallelism must never be capped by the input file layout (a small
+    parquet arrives as 1 split; at 100 TB the scan already yields thousands
+    of splits and the repartition is skipped). Defaults to 2x the session's
+    defaultParallelism; the shuffle moves only (url, html) once, after the
+    lang filter.
+    """
     stop = frozenset(stop_ids)
 
     def run(batches):
@@ -46,16 +57,14 @@ def pages_to_candidates(pages: DataFrame, entity_a: str, entity_b: str,
                             entity_a, entity_b, stop,
                         )
                     )
-            yield pd.DataFrame(rows, columns=_COLS)
+            yield rows_to_pdf(rows)
 
     # lang filter first => predicate pushdown to the scan; only url+html
     # survive into the Python stage (column pruning keeps the blob out of
     # every later exchange)
-    return (
-        pages.filter(F.col("lang") == lang)
-        .select("url", "html")
-        .mapInPandas(run, schema=CANDIDATES_SCHEMA)
-    )
+    slim = pages.filter(F.col("lang") == lang).select("url", "html")
+    slim = ensure_min_partitions(slim, cols=("url",), target=min_partitions)
+    return slim.mapInPandas(run, schema=CANDIDATES_SCHEMA)
 
 
 class KgPipeline:
@@ -70,11 +79,10 @@ class KgPipeline:
         self.occur_count = occur_count
 
     def prepare_kb(self, kb_rows_list, onto_rows):
-        kb = kbmod.kb_df(self.spark, kb_rows_list)
-        onto = kbmod.ontology_df(self.spark, onto_rows)
-        closure = kbmod.ontology_closure_df(onto)
-        expanded = kbmod.expand_kb(kb, closure)
-        fwd, rev = kbmod.collect_kb_sets(expanded)
+        # dictionary-sized inputs -> pure driver-side prep, zero Spark jobs
+        # (kb.ontology_closure_df / expand_kb remain the declarative twins)
+        closure = kbmod.ontology_closure_dict(onto_rows)
+        fwd, rev = kbmod.load_kb_sets(kb_rows_list, closure)
         return fwd, rev, sorted(fwd)
 
     def run(self, pages: DataFrame, kb_rows_list, onto_rows, stop_ids,
@@ -93,6 +101,8 @@ class KgPipeline:
             cands.write.mode("overwrite").parquet(checkpoint_dir)
             cands = self.spark.read.parquet(checkpoint_dir)
         else:
+            # cache is materialized by the (single-scan) vocab job and
+            # reused by the scoring job
             cands = cands.persist()
         vocab_df = build_vocab(cands, self.occur_count)
         vocabs = collect_vocab_sets(vocab_df)

@@ -216,42 +216,10 @@ class OInstance:
 # ------------------------------------------------------------ KB / closure
 
 
-def ontology_closure(onto_rows: list[dict]) -> dict[str, set]:
-    """load_data.py:796-826 with a cycle guard added (SURVEY.md S7 note)."""
-    parents: dict[str, set] = {}
-    for r in onto_rows:
-        parents.setdefault(r["term"], set()).add(r["is_a"])
-        parents.setdefault(r["is_a"], set())
-    closure: dict[str, set] = {}
-    for term in parents:
-        path, stack = set(), [term]
-        while stack:
-            t = stack.pop()
-            if t in path:
-                continue
-            path.add(t)
-            stack.extend(parents.get(t, ()))
-        closure[term] = path
-    return closure
-
-
-def load_kb(kb_rows_list: list[dict], closure: dict[str, set]):
-    """load_data.py:399-434,487-516 — per-relation forward/reverse tuple
-    sets; endpoint ontology-closure expansion; rel_text endswith 'by' ->
-    reverse set."""
-    fwd: dict[str, set] = {}
-    rev: dict[str, set] = {}
-    for r in kb_rows_list:
-        fwd.setdefault(r["rel"], set())
-        rev.setdefault(r["rel"], set())
-        ea = closure.get(r["e1"], {r["e1"]}) | {r["e1"]}
-        eb = closure.get(r["e2"], {r["e2"]}) | {r["e2"]}
-        for tup in itertools.product(ea, eb):
-            if r["rel_text"].endswith("by"):
-                rev[r["rel"]].add(tup)
-            else:
-                fwd[r["rel"]].add(tup)
-    return fwd, rev
+# canonical driver-side implementations live in kgre.kb (shared by the
+# Spark pipeline's prepare_kb); re-exported here under the oracle's names
+from kgre.kb import load_kb_sets as load_kb  # noqa: E402
+from kgre.kb import ontology_closure_dict as ontology_closure  # noqa: E402
 
 
 # ------------------------------------------------------------ full pipeline

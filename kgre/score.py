@@ -41,16 +41,27 @@ TRIPLES_SCHEMA = (
 
 
 def build_weight_table(vocabs: dict[str, set], key_order: list[str]):
-    """{(kind, feature): np.float64[n_rel]} + bias vector, driver-side."""
-    table = {}
+    """({kind: {feature: row}}, W[n_feat, n_rel], bias[n_rel]) driver-side.
+
+    One contiguous matrix + per-kind index dicts instead of one tiny array
+    per feature: broadcast-pickles in one buffer and row lookups in the
+    scorer are a single fancy-index."""
+    idx: dict[str, dict[str, int]] = {}
+    rows = []
+    r = 0
     for kind in KINDS:
-        for feat in vocabs[kind]:
-            table[(kind, feat)] = np.array(
-                [feature_weight(kind, rel, feat) for rel in key_order],
-                dtype=np.float64,
-            )
+        d = {}
+        for feat in sorted(vocabs[kind]):
+            d[feat] = r
+            rows.append((kind, feat))
+            r += 1
+        idx[kind] = d
+    w = np.empty((len(rows), len(key_order)), dtype=np.float64)
+    for i, (kind, feat) in enumerate(rows):
+        for j, rel in enumerate(key_order):
+            w[i, j] = feature_weight(kind, rel, feat)
     bias_vec = np.array([bias(rel) for rel in key_order], dtype=np.float64)
-    return table, bias_vec
+    return idx, w, bias_vec
 
 
 def score_candidates(
@@ -62,12 +73,12 @@ def score_candidates(
 ) -> DataFrame:
     """candidates -> scored triples (one row per instance x relation)."""
     spark = candidates.sparkSession
-    weight_table, bias_vec = build_weight_table(vocabs, key_order)
+    idx, w_mat, bias_vec = build_weight_table(vocabs, key_order)
     b_state = spark.sparkContext.broadcast(
         {
-            "weights": weight_table,
+            "idx": idx,
+            "W": w_mat,
             "bias": bias_vec,
-            "vocabs": vocabs,
             "key_order": key_order,
             "fwd": fwd_kb,
             "rev": rev_kb,
@@ -77,11 +88,11 @@ def score_candidates(
 
     def run(batches):
         st = b_state.value
-        weights, bias_v = st["weights"], st["bias"]
-        vocab_path = st["vocabs"]["dep_path"]
-        vocab_word = st["vocabs"]["dep_word"]
-        vocab_elem = st["vocabs"]["element"]
-        vocab_betw = st["vocabs"]["between"]
+        W, bias_v = st["W"], st["bias"]
+        idx_path = st["idx"]["dep_path"]
+        idx_word = st["idx"]["dep_word"]
+        idx_elem = st["idx"]["element"]
+        idx_betw = st["idx"]["between"]
         keys, fwd, rev = st["key_order"], st["fwd"], st["rev"]
         sym = np.array(["SYMMETRIC" in k for k in keys])
         for pdf in batches:
@@ -96,15 +107,23 @@ def score_candidates(
                 pdf["sdp_elements"], pdf["between_words"],
             )
             for r, (is_rev, pe1, pe2, path_s, words, elems, betw) in enumerate(it):
-                z = bias_v.copy()
-                if path_s in vocab_path:
-                    z += weights[("dep_path", path_s)]
-                for f in set(words) & vocab_word:
-                    z += weights[("dep_word", f)]
-                for f in set(elems) & vocab_elem:
-                    z += weights[("element", f)]
-                for f in set(betw) & vocab_betw:
-                    z += weights[("between", f)]
+                hit = []
+                i = idx_path.get(path_s)
+                if i is not None:
+                    hit.append(i)
+                for f in set(words):
+                    i = idx_word.get(f)
+                    if i is not None:
+                        hit.append(i)
+                for f in set(elems):
+                    i = idx_elem.get(f)
+                    if i is not None:
+                        hit.append(i)
+                for f in set(betw):
+                    i = idx_betw.get(f)
+                    if i is not None:
+                        hit.append(i)
+                z = bias_v + W[hit].sum(axis=0) if hit else bias_v
                 probs[r] = 1.0 / (1.0 + np.exp(-z))
                 combos = set(itertools.product(pe1, pe2))
                 for k, key in enumerate(keys):

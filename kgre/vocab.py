@@ -23,31 +23,29 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _kf(kind, feature):
+    return F.struct(F.lit(kind).alias("kind"), feature.alias("feature"))
+
+
 def vocab_counts(candidates: DataFrame) -> DataFrame:
     """candidates -> (kind, feature, cnt); occurrence counts (duplicates
-    within an instance count individually, mirroring Counter.update)."""
-    parts = [
-        candidates.select(
-            F.lit("dep_path").alias("kind"),
-            F.col("dep_path_string").alias("feature"),
-        ),
-        candidates.select(
-            F.lit("dep_word").alias("kind"),
-            F.explode("sdp_words").alias("feature"),
-        ),
-        candidates.select(
-            F.lit("element").alias("kind"),
-            F.explode("sdp_elements").alias("feature"),
-        ),
-        candidates.select(
-            F.lit("between").alias("kind"),
-            F.explode("between_words").alias("feature"),
-        ),
-    ]
-    unioned = parts[0]
-    for p in parts[1:]:
-        unioned = unioned.unionAll(p)
-    return unioned.groupBy("kind", "feature").agg(F.count("*").alias("cnt"))
+    within an instance count individually, mirroring Counter.update).
+
+    Single scan of the candidates table: the four feature projections are
+    concatenated row-locally into one exploded (kind, feature) stream —
+    no 4-branch union (which would read the table four times and, on a
+    freshly persisted upstream, race to recompute it 4x)."""
+    kf = F.concat(
+        F.array(_kf("dep_path", F.col("dep_path_string"))),
+        F.transform("sdp_words", lambda x: _kf("dep_word", x)),
+        F.transform("sdp_elements", lambda x: _kf("element", x)),
+        F.transform("between_words", lambda x: _kf("between", x)),
+    )
+    return (
+        candidates.select(F.explode(kf).alias("kf"))
+        .select("kf.kind", "kf.feature")
+        .groupBy("kind", "feature").agg(F.count("*").alias("cnt"))
+    )
 
 
 def build_vocab(candidates: DataFrame, occur_count: int) -> DataFrame:
@@ -59,9 +57,12 @@ def build_vocab(candidates: DataFrame, occur_count: int) -> DataFrame:
 
 
 def collect_vocab_sets(vocab: DataFrame) -> dict[str, set]:
-    """vocab table -> {kind: set(feature)} for broadcast into the scorer."""
+    """vocab table -> {kind: set(feature)} for broadcast into the scorer.
+    Arrow-path collect (toPandas) — row-at-a-time collect() costs seconds
+    at 10^5 features."""
     out: dict[str, set] = {"dep_path": set(), "dep_word": set(),
                            "element": set(), "between": set()}
-    for row in vocab.select("kind", "feature").collect():
-        out[row["kind"]].add(row["feature"])
+    pdf = vocab.select("kind", "feature").toPandas()
+    for kind, grp in pdf.groupby("kind"):
+        out[kind] = set(grp["feature"])
     return out

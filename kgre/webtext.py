@@ -14,23 +14,36 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from kgre.synthgen import HTML_TEMPLATE, N_GENES, N_GO, PAGES_SCHEMA
-from kgre.util import hrange
+from kgre.util import ensure_min_partitions, h48, hseq
 
 _TS_BASE = datetime(2024, 1, 1)
+
+
+
+_PAGE_COLS = ["url", "warc_ts", "html", "text", "lang"]
+
+
+def _pages_pdf(rows):
+    if not rows:
+        return pd.DataFrame({c: [] for c in _PAGE_COLS})
+    return pd.DataFrame({c: [r[c] for r in rows] for c in _PAGE_COLS})
 
 
 def doc_to_page(doc_id: int, text: str, lang: str) -> dict:
     words = text.split()
     out = []
+    # one hash per document; per-position draws are integer-mixed from it
+    # (pure function of (doc_id, j), like the string-keyed original)
+    base = h48("page|%d" % doc_id)
     for j, w in enumerate(words):
         out.append(w)
-        r = hrange("inj|%d|%d" % (doc_id, j), 23)
+        r = hseq(base, j, 1, 23)
         if r == 0:
-            out.append("GENE%d" % (1 + hrange("g|%d|%d" % (doc_id, j), N_GENES)))
+            out.append("GENE%d" % (1 + hseq(base, j, 2, N_GENES)))
         elif r == 1:
-            out.append("GO%d" % (1 + hrange("o|%d|%d" % (doc_id, j), N_GO)))
+            out.append("GO%d" % (1 + hseq(base, j, 3, N_GO)))
         elif r == 2:
-            out.append("VGENE%d" % (1 + hrange("v|%d|%d" % (doc_id, j), N_GENES)))
+            out.append("VGENE%d" % (1 + hseq(base, j, 4, N_GENES)))
         if j % 12 == 11:
             out.append(".")
     new_text = " ".join(out) + " ."
@@ -52,9 +65,37 @@ def pages_from_documents(docs: DataFrame) -> DataFrame:
                 doc_to_page(int(d), t, l)
                 for d, t, l in zip(pdf["doc_id"], pdf["text"], pdf["lang"])
             ]
-            yield pd.DataFrame(rows,
-                               columns=["url", "warc_ts", "html", "text", "lang"])
+            yield _pages_pdf(rows)
 
-    return docs.select("doc_id", "text", "lang").mapInPandas(
-        run, schema=PAGES_SCHEMA
-    )
+    slim = ensure_min_partitions(docs.select("doc_id", "text", "lang"),
+                                 cols=("doc_id",))
+    return slim.mapInPandas(run, schema=PAGES_SCHEMA)
+
+
+def scaled_corpus(docs: DataFrame, n_pages: int) -> DataFrame:
+    """Deterministically scale a small documents table to ``n_pages``
+    synthetic web pages, generated DISTRIBUTED via ``spark.range`` (the
+    base texts are broadcast — dictionary-sized; page i reuses the text of
+    base doc i % n_base under a fresh doc_id, so entity injections differ
+    per page).  Used by the scaling benchmark: same deterministic corpus
+    at every parallelism level, generation itself parallel."""
+    spark = docs.sparkSession
+    bpdf = docs.select("doc_id", "text", "lang").toPandas()
+    base = sorted(zip((int(x) for x in bpdf["doc_id"]),
+                      bpdf["text"], bpdf["lang"]))
+    bc = spark.sparkContext.broadcast(base)
+    n_parts = spark.sparkContext.defaultParallelism * 2
+
+    def run(batches):
+        rows_base = bc.value
+        nb = len(rows_base)
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                _, text, lang = rows_base[i % nb]
+                rows.append(doc_to_page(i, text, lang))
+            yield _pages_pdf(rows)
+
+    rng = spark.range(0, n_pages, 1, n_parts)
+    return rng.mapInPandas(run, schema=PAGES_SCHEMA)

@@ -1,0 +1,51 @@
+"""CLI mode dispatch (reference relation_extraction.py:430-565): each mode
+runs end-to-end on the synthetic corpus and writes its sink."""
+
+import os
+
+import pytest
+
+from kgre import cli
+
+
+def _run(spark, monkeypatch, mode, out, extra=()):
+    # reuse the session fixture instead of letting the CLI build its own
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark)
+    # and keep it alive across modes
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    cli.main([mode, "--synth", "60", "--occur-count", "2",
+              "--out", out, *extra])
+
+
+def test_cli_score_and_build(spark, tmp_path, monkeypatch):
+    out = str(tmp_path / "score")
+    _run(spark, monkeypatch, "score", out)
+    triples = spark.read.parquet(out + "/triples")
+    assert triples.count() > 0
+    assert set(triples.columns) >= {"url", "subj", "obj", "rel", "prob"}
+    # partitioned by rel (S13: one sink partition per relation key)
+    assert any(d.startswith("rel=") for d in os.listdir(out + "/triples"))
+
+    out2 = str(tmp_path / "build")
+    _run(spark, monkeypatch, "build", out2)
+    assert spark.read.parquet(out2 + "/candidates").count() > 0
+    vocab = spark.read.parquet(out2 + "/vocab")
+    assert {"kind", "feature", "cnt", "id"} <= set(vocab.columns)
+
+
+def test_cli_predict_and_eval(spark, tmp_path, monkeypatch):
+    out = str(tmp_path / "pred")
+    _run(spark, monkeypatch, "predict", out)
+    preds = spark.read.parquet(out + "/predictions")
+    # predict keeps every instance row (no prob>0.5 gate)
+    assert preds.count() >= preds.filter("prob > 0.5").count() > 0
+
+    out3 = str(tmp_path / "eval")
+    _run(spark, monkeypatch, "eval-data", out3)
+    dist = spark.read.parquet(out3 + "/dist_subj")
+    assert dist.count() > 0
+
+
+def test_cli_rejects_unknown_mode():
+    with pytest.raises(SystemExit):
+        cli.main(["nonsense"])
