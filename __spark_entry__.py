@@ -613,6 +613,35 @@ def oracle_sql() -> dict[str, str]:
             FROM i JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
             WHERE round(inter * 1.0 / (s1.s + s2.s - inter), 4) >= 0.3
         """,
+        "q_simhash_neardups": """
+            WITH toks AS (SELECT DISTINCT doc_id,
+                                 unnest(string_split(text, ' ')) AS t
+                          FROM documents WHERE doc_id < 200),
+            h AS (SELECT doc_id,
+                         ('0x' || substring(md5(t), 1, 16))::UBIGINT AS hv
+                  FROM toks),
+            bits AS (SELECT doc_id, b,
+                            sum(CASE WHEN (hv >> b) & 1 = 1
+                                     THEN 1 ELSE -1 END) AS acc
+                     FROM h, (SELECT unnest(range(0, 64)) AS b)
+                     GROUP BY doc_id, b),
+            fp AS (SELECT doc_id,
+                          sum(CASE WHEN acc > 0
+                                   THEN (1::UBIGINT << b) ELSE 0 END)
+                            ::UBIGINT AS sh
+                   FROM bits GROUP BY doc_id),
+            bands AS (SELECT doc_id, sh, b AS band,
+                             (sh >> (16 * b)) & 65535 AS key
+                      FROM fp, (SELECT unnest(range(0, 4)) AS b)),
+            pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                             a.sh AS h1, b.sh AS h2
+                      FROM bands a
+                      JOIN bands b ON a.band = b.band AND a.key = b.key
+                                   AND a.doc_id < b.doc_id)
+            SELECT d1, d2,
+                   CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+            FROM pairs WHERE bit_count(xor(h1, h2)) <= 6
+        """,
         "q_ann_cosine_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
             s AS (SELECT vec_id,
@@ -635,6 +664,36 @@ def oracle_sql() -> dict[str, str]:
                            AS cos_sim
                   FROM e a JOIN e b ON a.vec_id < b.vec_id)
             SELECT v1, v2, cos_sim FROM p WHERE cos_sim >= 0.30
+        """,
+        "q_ann_lsh_topk": """
+            WITH pl AS (
+              SELECT p, d,
+                     (('0x' || substring(md5('hp|' || p || '|' || d), 1, 12))
+                        ::BIGINT / 281474976710656.0) * 2.0 - 1.0 AS w
+              FROM (SELECT unnest(range(0, 6)) AS p),
+                   (SELECT unnest(range(0, 64)) AS d)),
+            proj AS (
+              SELECT e.vec_id, pl.p,
+                     sum(e.embedding[pl.d + 1]::DOUBLE * pl.w) AS s
+              FROM embeddings e, pl
+              GROUP BY e.vec_id, pl.p),
+            bk AS (
+              SELECT vec_id,
+                     sum(CASE WHEN s > 0 THEN (1 << p) ELSE 0 END) AS bucket
+              FROM proj GROUP BY vec_id),
+            qb AS (SELECT bucket FROM bk WHERE vec_id = 0),
+            cand AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS emb
+                     FROM embeddings e
+                     JOIN bk ON e.vec_id = bk.vec_id
+                     JOIN qb ON bk.bucket = qb.bucket),
+            q AS (SELECT emb AS qe FROM cand WHERE vec_id = 0),
+            s AS (SELECT vec_id,
+                         list_dot_product(emb, qe)
+                           / (sqrt(list_dot_product(emb, emb))
+                              * sqrt(list_dot_product(qe, qe))) AS sim
+                  FROM cand, q WHERE vec_id != 0)
+            SELECT vec_id, round(sim, 4) AS cos_sim
+            FROM s ORDER BY sim DESC, vec_id LIMIT 10
         """,
         "q_token_count": """
             SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER)
@@ -675,6 +734,24 @@ def oracle_sql() -> dict[str, str]:
                    md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
                      AS fp
             FROM documents
+        """,
+        "q_frame_sample": """
+            WITH v AS (
+              SELECT doc_id,
+                     8 + doc_id % 16 AS w,
+                     8 + (doc_id // 3) % 16 AS h,
+                     1 + doc_id % 5 AS nf
+              FROM documents
+              WHERE doc_id < 100 AND doc_id % 3 = 2),
+            fr AS (SELECT doc_id, w, h, nf, unnest(range(0, nf)) AS f
+                   FROM v),
+            sampled AS (SELECT * FROM fr WHERE f % 2 = 0),
+            px AS (SELECT doc_id, f,
+                          (doc_id * 131 + (f * w * h + i) * 17) % 256 AS val
+                   FROM sampled, unnest(range(0, w * h)) AS t(i))
+            SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+                   round(avg(val), 4) AS mean_intensity
+            FROM px GROUP BY doc_id, f
         """,
         "q_entity_linking": """
             WITH m0 AS (SELECT p_partkey AS mid,

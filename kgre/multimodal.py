@@ -30,10 +30,12 @@ META_SCHEMA = ("doc_id long, media_type string, width int, height int, "
 
 
 def encode_blob(width: int, height: int, n_frames: int, seed: int) -> bytes:
-    """Deterministic fake media payload."""
-    rng = np.random.RandomState(seed % (2**31 - 1))
-    payload = rng.randint(0, 256, size=width * height * n_frames,
-                          dtype=np.int64).astype(np.uint8).tobytes()
+    """Deterministic fake media payload: byte i = (seed*131 + i*17) mod 256
+    (a closed-form pattern any engine can reproduce, so frame-level
+    features are oracle-checkable end-to-end)."""
+    n = width * height * n_frames
+    payload = ((seed * 131 + np.arange(n, dtype=np.int64) * 17) % 256
+               ).astype(np.uint8).tobytes()
     return MAGIC + struct.pack(">III", width, height, n_frames) + payload
 
 
