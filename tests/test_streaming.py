@@ -1,0 +1,69 @@
+"""Incremental ingest: the streaming path must emit EXACTLY the batch
+path's triples on the same input with the same frozen vocab (the stream is
+just micro-batched execution of the same plan)."""
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from kgre import kb as kbmod
+from kgre import streaming, synthgen
+from kgre.pipeline import pages_to_candidates
+from kgre.score import emitted_triples, score_candidates
+from kgre.vocab import build_vocab, collect_vocab_sets
+
+KEY = ["url", "sent_id", "pair_idx", "is_reverse", "rel"]
+
+
+def _multiset(df):
+    rows = df.select(*KEY, F.round("prob", 9).alias("p")).collect()
+    return Counter(tuple(r) for r in rows)
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    pages_dir = str(tmp_path / "pages")
+    # several files -> several micro-batches (maxFilesPerTrigger=4)
+    synthgen.pages_df(spark, 80).repartition(8).write.parquet(pages_dir)
+    stop = synthgen.stop_entity_ids()
+
+    # frozen vocab + KB state from a prior batch build (reference TEST mode)
+    batch_cands = pages_to_candidates(
+        spark.read.parquet(pages_dir), "GENE", "ONTOLOGY", stop).persist()
+    vocabs = collect_vocab_sets(build_vocab(batch_cands, 2))
+    closure = kbmod.ontology_closure_dict(synthgen.ontology_rows())
+    fwd, rev = kbmod.load_kb_sets(synthgen.kb_rows(), closure)
+    batch = emitted_triples(
+        score_candidates(batch_cands, vocabs, sorted(fwd), fwd, rev))
+    expected = _multiset(batch)
+    assert expected, "batch path must emit triples"
+
+    out = str(tmp_path / "triples")
+    q = streaming.stream_triples(
+        spark, pages_dir, out, str(tmp_path / "ckpt"),
+        synthgen.kb_rows(), synthgen.ontology_rows(), stop, vocabs)
+    assert q.awaitTermination(300), "stream did not drain in time"
+    got = _multiset(spark.read.parquet(out))
+    assert got == expected
+    batch_cands.unpersist()
+
+
+def test_stream_resume_is_exactly_once(spark, tmp_path):
+    """Restarting with the same checkpoint must not duplicate output."""
+    pages_dir = str(tmp_path / "pages")
+    synthgen.pages_df(spark, 40).repartition(4).write.parquet(pages_dir)
+    stop = synthgen.stop_entity_ids()
+    cands = pages_to_candidates(
+        spark.read.parquet(pages_dir), "GENE", "ONTOLOGY", stop)
+    vocabs = collect_vocab_sets(build_vocab(cands, 2))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    for _ in range(2):  # second run: offsets already committed -> no-op
+        q = streaming.stream_triples(
+            spark, pages_dir, out, ckpt,
+            synthgen.kb_rows(), synthgen.ontology_rows(), stop, vocabs)
+        assert q.awaitTermination(300)
+
+    n = spark.read.parquet(out).count()
+    first = _multiset(spark.read.parquet(out))
+    assert sum(first.values()) == n
+    assert max(first.values()) == 1, "restart duplicated micro-batch output"
