@@ -325,6 +325,27 @@ def _q_frame_sample(spark, sf_dir):
     return multimodal.frame_sample(blobs, every_k=2)
 
 
+def _q_lstm_scoring(spark, sf_dir):
+    """M3/M5 (rows-only: recurrent forward pass isn't SQL; batch-vs-oracle
+    parity is enforced in tests/test_lstm.py)."""
+    from kgre import lstm
+    from kgre.pipeline import pages_to_candidates
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 60)
+    pages = webtext.pages_from_documents(docs)
+    cands = pages_to_candidates(pages, "GENE", "ONTOLOGY",
+                                synthgen.stop_entity_ids()).persist()
+    types = [r["f"] for r in
+             cands.selectExpr("explode(sdp_types) f").distinct().collect()]
+    words = [r["f"] for r in
+             cands.selectExpr("explode(sdp_words) f").distinct().collect()]
+    dep_vocab, word_vocab = lstm.lstm_vocabs(types, words)
+    key_order = sorted({r["rel"] for r in synthgen.kb_rows()})
+    scored = lstm.score_candidates_lstm(cands, dep_vocab, word_vocab,
+                                        key_order)
+    return scored.select("url", "sent_id", "pair_idx", "is_reverse", "rel",
+                         F.round("prob", 6).alias("prob"))
+
+
 def _q_entity_linking(spark, sf_dir):
     parts = _t(spark, sf_dir, "part")
     dictionary = parts.select(F.col("p_partkey").alias("entity_id"),
@@ -384,8 +405,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing
         "q_multimodal_meta": _q_multimodal_meta,
         "q_frame_sample": _q_frame_sample,
-        # entity linking (north-star; rows-only)
+        # entity linking (north-star)
         "q_entity_linking": _q_entity_linking,
+        # LSTM scoring path (M3/M5; rows-only, non-SQL)
+        "q_lstm_scoring": _q_lstm_scoring,
     }
 
 

@@ -246,5 +246,7 @@ def rows_to_pdf(rows) -> pd.DataFrame:
     lists). pd.DataFrame(list_of_dicts) re-infers per row and is the
     slowest constructor — this is the hot Arrow boundary."""
     if not rows:
-        return pd.DataFrame({c: [] for c in _COLS})
+        # empty columns MUST be object-dtype: a bare [] infers float64,
+        # which Arrow cannot convert to list<string> fields
+        return pd.DataFrame({c: pd.Series([], dtype=object) for c in _COLS})
     return pd.DataFrame({c: [r[c] for r in rows] for c in _COLS})

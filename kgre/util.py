@@ -114,3 +114,13 @@ def hseq_mat(base: int, idx, tags):
     x *= np.uint64(0x94D049BB133111EB)
     x ^= x >> np.uint64(31)
     return x
+
+
+def hfloats(key: str, n: int):
+    """Deterministic float64 array in [-1, 1) from a string key (one md5 +
+    vectorized integer mixing; used for synthetic model weights)."""
+    import numpy as np
+
+    base = h48(key)
+    idx = np.arange(n, dtype=np.uint64)
+    return (hseq_vec(base, idx, 7) / np.float64(2**64)) * 2.0 - 1.0

@@ -25,7 +25,10 @@ _PAGE_COLS = ["url", "warc_ts", "html", "text", "lang"]
 
 def _pages_pdf(rows):
     if not rows:
-        return pd.DataFrame({c: [] for c in _PAGE_COLS})
+        # object-dtype empties: bare [] infers float64, breaking Arrow
+        # conversion for binary/timestamp fields
+        return pd.DataFrame({c: pd.Series([], dtype=object)
+                             for c in _PAGE_COLS})
     return pd.DataFrame({c: [r[c] for r in rows] for c in _PAGE_COLS})
 
 

@@ -1,0 +1,85 @@
+"""LSTM scoring path (M3/M5 + X11): encode semantics, batch-vs-oracle
+forward parity, and the Spark stage end-to-end."""
+
+import numpy as np
+import pytest
+
+from kgre import lstm, synthgen
+from kgre.pipeline import pages_to_candidates
+
+KEYS = ["activates.txt", "inhibited_by.txt", "SYMMETRICbinds.txt"]
+
+
+def test_encode_pad_unk_truncate():
+    dep, word = lstm.lstm_vocabs(["a", "b"], ["X", "y"])
+    # UNKNOWN/PADDING appended last (load_data.py:605-610)
+    assert dep["UNKNOWN_WORD"] == 2 and dep["PADDING_WORD"] == 3
+    t, w, lt, lw = lstm.encode_instance(["a", "zz"], ["X", "q"], dep, word)
+    assert t[0] == dep["a"] and t[1] == dep["UNKNOWN_WORD"]
+    # word lookup lowercases (instances.py:214)
+    assert w[0] == word["x"] and w[1] == word["UNKNOWN_WORD"]
+    assert t[2:] == [dep["PADDING_WORD"]] * 98
+    assert (lt, lw) == (2, 2)
+    t, _, lt, _ = lstm.encode_instance(["a"] * 150, [], dep, word)
+    assert lt == 100 and len(t) == 100
+
+
+def test_padding_rows_are_zeros():
+    dep, word = lstm.lstm_vocabs(["a"], ["x"])
+    de, we = lstm.embedding_tables(dep, word)
+    assert not de[dep["PADDING_WORD"]].any()
+    assert not we[word["PADDING_WORD"]].any()
+    assert de[dep["UNKNOWN_WORD"]].any()  # UNKNOWN is random, not zeros
+
+
+def test_batch_forward_matches_oracle():
+    dep, word = lstm.lstm_vocabs(["nsubj", "dobj", "-prep"],
+                                 ["gene", "binds", "start_entity"])
+    de, we = lstm.embedding_tables(dep, word)
+    weights = lstm.lstm_weights(KEYS)
+    cases = [
+        (["nsubj", "dobj"], ["START_ENTITY", "binds", "END_ENTITY"]),
+        (["-prep"], []),
+        ([], []),
+        (["nsubj"] * 7, ["gene"] * 4),
+    ]
+    # batched path
+    n = len(cases)
+    t_ids = np.empty((n, lstm.PAD_LEN), dtype=np.int64)
+    w_ids = np.empty((n, lstm.PAD_LEN), dtype=np.int64)
+    lens = np.empty(n, dtype=np.int64)
+    for r, (types, words) in enumerate(cases):
+        ti, wi, lt, lw = lstm.encode_instance(types, words, dep, word)
+        t_ids[r], w_ids[r], lens[r] = ti, wi, lt + lw
+    seq = np.zeros((n, lstm.SEQ, lstm.STATE))
+    seq[:, 0::2, :lstm.WORD_DIM] = we[w_ids]
+    seq[:, 1::2, lstm.WORD_DIM:] = de[t_ids]
+    h = lstm.lstm_forward_batch(seq, lens, weights)
+    batch_probs = 1.0 / (1.0 + np.exp(-lstm.lstm_logits(h, weights)))
+    # per-instance oracle path
+    for r, (types, words) in enumerate(cases):
+        oracle = lstm.oracle_score_instance(types, words, dep, word,
+                                            de, we, weights)
+        np.testing.assert_allclose(batch_probs[r], oracle, atol=1e-12)
+
+
+def test_lstm_stage_end_to_end(spark):
+    pages = synthgen.pages_df(spark, 40)
+    cands = pages_to_candidates(pages, "GENE", "ONTOLOGY",
+                                synthgen.stop_entity_ids()).persist()
+    types = [r["f"] for r in
+             cands.selectExpr("explode(sdp_types) f").distinct().collect()]
+    words = [r["f"] for r in
+             cands.selectExpr("explode(sdp_words) f").distinct().collect()]
+    dep, word = lstm.lstm_vocabs(types, words)
+    scored = lstm.score_candidates_lstm(cands, dep, word, sorted(KEYS))
+    rows = scored.collect()
+    assert len(rows) > 0 and len(rows) % len(KEYS) == 0
+    assert all(0.0 < r["prob"] < 1.0 for r in rows)
+    # deterministic: same probs on recompute
+    again = {(r["url"], r["sent_id"], r["pair_idx"], r["is_reverse"],
+              r["rel"]): r["prob"] for r in scored.collect()}
+    for r in rows:
+        k = (r["url"], r["sent_id"], r["pair_idx"], r["is_reverse"], r["rel"])
+        assert again[k] == pytest.approx(r["prob"], abs=1e-12)
+    cands.unpersist()

@@ -220,3 +220,16 @@ def test_score_logit_set_semantics():
     z3 = score_logit("r", "q", ["w"], [], [], vocabs)  # path not in vocab
     assert z3 != z1
     assert 0.0 <= sigmoid(z1) <= 1.0
+
+
+def test_empty_batch_frames_are_object_dtype():
+    """Empty partitions must yield object-dtype frames: float64 empties
+    break Arrow conversion to list/binary fields (regression)."""
+    import pandas as pd
+
+    from kgre.candidates import rows_to_pdf
+    from kgre.webtext import _pages_pdf
+
+    for pdf in (rows_to_pdf([]), _pages_pdf([])):
+        assert len(pdf) == 0
+        assert all(dt == object for dt in pdf.dtypes)
