@@ -32,6 +32,7 @@ import sys
 
 from pyspark.sql import functions as F
 
+from kgre import kb as kbmod
 from kgre import synthgen, webtext
 from kgre.pipeline import KgPipeline, pages_to_candidates, write_triples
 from kgre.score import emitted_triples
@@ -107,8 +108,32 @@ def mode_eval_data(spark, args):
     print("EVAL_DATA ok")
 
 
+def mode_train(spark, args):
+    """Reference TRAIN_FEED_FORWARD (relation_extraction.py:336-427):
+    candidates -> vocab -> offline Adam logistic fit -> weights table."""
+    from kgre import train
+    from kgre.vocab import collect_vocab_sets
+
+    pages = _load_pages(spark, args)
+    cands = pages_to_candidates(pages, args.entity_a, args.entity_b,
+                                synthgen.stop_entity_ids()).persist()
+    vocab_df = build_vocab(cands, args.occur_count)
+    vocab_df.write.mode("overwrite").parquet(args.out + "/vocab")
+    vocabs = collect_vocab_sets(vocab_df)
+    closure = kbmod.ontology_closure_dict(synthgen.ontology_rows())
+    fwd, rev = kbmod.load_kb_sets(synthgen.kb_rows(), closure)
+    key_order = sorted(fwd)
+    wt, losses = train.train_model(cands, vocabs, key_order, fwd, rev,
+                                   epochs=args.epochs)
+    train.weights_to_df(spark, wt, key_order).write.mode(
+        "overwrite").parquet(args.out + "/weights")
+    print("TRAIN ok: loss %.4f -> %.4f, weights=%d" % (
+        losses[0], losses[-1],
+        spark.read.parquet(args.out + "/weights").count()))
+
+
 MODES = {"build": mode_build, "score": mode_score, "predict": mode_predict,
-         "eval-data": mode_eval_data}
+         "eval-data": mode_eval_data, "train": mode_train}
 
 
 def main(argv=None):
@@ -123,6 +148,8 @@ def main(argv=None):
     p.add_argument("--entity-b", default="ONTOLOGY")
     p.add_argument("--occur-count", type=int, default=5,
                    help="vocab min count (reference uses 100 at corpus scale)")
+    p.add_argument("--epochs", type=int, default=40,
+                   help="training epochs (reference default is 250)")
     p.add_argument("--checkpoint", action="store_true",
                    help="materialize the candidates stage to parquet "
                         "(the reference's TFRecord boundary)")

@@ -70,10 +70,17 @@ def score_candidates(
     key_order: list[str],
     fwd_kb: dict[str, set],
     rev_kb: dict[str, set],
+    weight_table=None,
 ) -> DataFrame:
-    """candidates -> scored triples (one row per instance x relation)."""
+    """candidates -> scored triples (one row per instance x relation).
+
+    ``weight_table``: optional (idx, W, bias) from an offline training run
+    (kgre/train.py, M2); defaults to the frozen deterministic model."""
     spark = candidates.sparkSession
-    idx, w_mat, bias_vec = build_weight_table(vocabs, key_order)
+    if weight_table is None:
+        idx, w_mat, bias_vec = build_weight_table(vocabs, key_order)
+    else:
+        idx, w_mat, bias_vec = weight_table
     b_state = spark.sparkContext.broadcast(
         {
             "idx": idx,

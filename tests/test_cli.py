@@ -49,3 +49,12 @@ def test_cli_predict_and_eval(spark, tmp_path, monkeypatch):
 def test_cli_rejects_unknown_mode():
     with pytest.raises(SystemExit):
         cli.main(["nonsense"])
+
+
+def test_cli_train(spark, tmp_path, monkeypatch):
+    out = str(tmp_path / "train")
+    _run(spark, monkeypatch, "train", out, extra=("--epochs", "5"))
+    w = spark.read.parquet(out + "/weights")
+    assert w.count() > 0
+    assert {"kind", "feature", "rel", "weight"} == set(w.columns)
+    assert w.filter("kind = '__bias__'").count() > 0
