@@ -42,6 +42,8 @@ _CC_EDGES = [("a1", "a2"), ("a2", "a3"), ("a3", "a4"),
              ("c1", "c2"), ("c1", "c3"), ("c1", "c4"), ("c1", "c5"),
              ("d1", "d2")]
 _CC_VALUES_SQL = ", ".join("('%s','%s')" % (s, d) for s, d in _CC_EDGES)
+_CC_TRIPLES = [(s, "rel%d" % (i % 3), d) for i, (s, d) in enumerate(_CC_EDGES)]
+_CC_TRIPLES_SQL = ", ".join("('%s','%s','%s')" % t for t in _CC_TRIPLES)
 
 _EN_STOP_SQL = "[" + ", ".join("'%s'" % w for w in textstats.EN_STOPWORDS) + "]"
 
@@ -325,6 +327,17 @@ def _q_frame_sample(spark, sf_dir):
     return multimodal.frame_sample(blobs, every_k=2)
 
 
+def _q_canonicalize(spark, sf_dir):
+    """Canonicalization pass: rewrite triple endpoints through the
+    connected-components map of SAME_AS-style edges (north-star)."""
+    from kgre.canon import canonicalize_triples
+    triples = spark.createDataFrame(
+        _CC_TRIPLES, "subj string, rel string, obj string")
+    same_as = spark.createDataFrame(_CC_EDGES, "src string, dst string")
+    out = canonicalize_triples(triples, same_as)
+    return out.select("subj", "rel", "obj", "subj_canon", "obj_canon")
+
+
 def _q_lstm_scoring(spark, sf_dir):
     """M3/M5 (rows-only: recurrent forward pass isn't SQL; batch-vs-oracle
     parity is enforced in tests/test_lstm.py)."""
@@ -375,6 +388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graph (S7/G4, north-star CC)
         "q_ontology_closure": _q_ontology_closure,
         "q_connected_components": _q_connected_components,
+        "q_canonicalize": _q_canonicalize,
         # window / sequence (W1-family)
         "q_segment_chunking": _q_segment_chunking,
         "q_sessionize": _q_sessionize,
@@ -466,6 +480,28 @@ def oracle_sql() -> dict[str, str]:
                 SELECT reach.n, e.b FROM reach JOIN e ON reach.r = e.a
             )
             SELECT n AS node, min(r) AS component FROM reach GROUP BY n
+        """,
+        "q_canonicalize": f"""
+            WITH RECURSIVE
+            raw(s, d) AS (SELECT * FROM (VALUES {_CC_VALUES_SQL})),
+            triples(subj, rel, obj) AS (
+                SELECT * FROM (VALUES {_CC_TRIPLES_SQL})),
+            e(a, b) AS (SELECT s, d FROM raw WHERE s != d
+                        UNION SELECT d, s FROM raw WHERE s != d),
+            nodes(n) AS (SELECT DISTINCT a FROM e),
+            reach(n, r) AS (
+                SELECT n, n FROM nodes
+                UNION
+                SELECT reach.n, e.b FROM reach JOIN e ON reach.r = e.a
+            ),
+            comp AS (SELECT n AS node, min(r) AS component
+                     FROM reach GROUP BY n)
+            SELECT t.subj, t.rel, t.obj,
+                   coalesce(c1.component, t.subj) AS subj_canon,
+                   coalesce(c2.component, t.obj) AS obj_canon
+            FROM triples t
+            LEFT JOIN comp c1 ON t.subj = c1.node
+            LEFT JOIN comp c2 ON t.obj = c2.node
         """,
         "q_segment_chunking": """
             WITH w AS (

@@ -106,32 +106,29 @@ def score_candidates(
             n = len(pdf)
             if n == 0:
                 continue
-            probs = np.empty((n, n_rel), dtype=np.float64)
             labels = np.zeros((n, n_rel), dtype=np.int32)
+            # one batch-wide scatter-add instead of a per-row fancy-index:
+            # collect (row, feature-row) hit pairs, then z[rows] += W[feats]
+            hit_rows: list[int] = []
+            hit_feats: list[int] = []
             it = zip(
                 pdf["is_reverse"], pdf["pair_e1_ids"], pdf["pair_e2_ids"],
                 pdf["dep_path_string"], pdf["sdp_words"],
                 pdf["sdp_elements"], pdf["between_words"],
             )
+            z = np.tile(bias_v, (n, 1))
             for r, (is_rev, pe1, pe2, path_s, words, elems, betw) in enumerate(it):
-                hit = []
                 i = idx_path.get(path_s)
                 if i is not None:
-                    hit.append(i)
-                for f in set(words):
-                    i = idx_word.get(f)
-                    if i is not None:
-                        hit.append(i)
-                for f in set(elems):
-                    i = idx_elem.get(f)
-                    if i is not None:
-                        hit.append(i)
-                for f in set(betw):
-                    i = idx_betw.get(f)
-                    if i is not None:
-                        hit.append(i)
-                z = bias_v + W[hit].sum(axis=0) if hit else bias_v
-                probs[r] = 1.0 / (1.0 + np.exp(-z))
+                    hit_rows.append(r)
+                    hit_feats.append(i)
+                for d, fs in ((idx_word, words), (idx_elem, elems),
+                              (idx_betw, betw)):
+                    for f in set(fs):
+                        i = d.get(f)
+                        if i is not None:
+                            hit_rows.append(r)
+                            hit_feats.append(i)
                 combos = set(itertools.product(pe1, pe2))
                 for k, key in enumerate(keys):
                     if sym[k]:
@@ -146,6 +143,9 @@ def score_candidates(
                         # set did NOT match
                         if not (combos & fwd[key]) and combos & rev[key]:
                             labels[r, k] = 1
+            if hit_rows:
+                np.add.at(z, np.asarray(hit_rows), W[np.asarray(hit_feats)])
+            probs = 1.0 / (1.0 + np.exp(-z))
             out = pd.DataFrame(
                 {
                     "url": np.repeat(pdf["url"].to_numpy(), n_rel),
