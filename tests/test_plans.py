@@ -1,0 +1,91 @@
+"""Physical-plan regression guards: the scale properties we rely on
+(predicate pushdown, column pruning, broadcast joins, single-scan vocab)
+must be visible in the optimized plan, not just assumed."""
+
+import pytest
+
+from kgre import synthgen
+from kgre.pipeline import pages_to_candidates
+from kgre.vocab import vocab_counts
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df):
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet")
+
+
+def test_filter_pushdown_and_column_pruning(spark, lineitem):
+    from pyspark.sql import functions as F
+    q = (lineitem.filter(F.col("l_shipdate") <= "1998-09-01")
+         .groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s")))
+    plan = _plan(q)
+    assert "PushedFilters" in plan and "LessThanOrEqual(l_shipdate" in plan
+    # pruning: only the 3 referenced columns reach the scan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_quantity" in read and "l_returnflag" in read
+    assert "l_comment" not in read and "l_extendedprice" not in read
+
+
+def test_dimension_joins_broadcast(spark):
+    from pyspark.sql import functions as F
+    s = spark.read.parquet(f"{SF}/supplier.parquet")
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    r = spark.read.parquet(f"{SF}/region.parquet")
+    q = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+         .groupBy("r_name").count())
+    plan = _plan(q)
+    # formatted explain names each node in the tree and the detail section
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_candidates_stage_prunes_page_columns(spark):
+    """The html blob is consumed by the fused Python stage; text/warc_ts
+    must never be read from the pages scan (at Common-Crawl scale the
+    unused columns dominate I/O)."""
+    pages = synthgen.pages_df(spark, 10)
+    cands = pages_to_candidates(pages, "GENE", "ONTOLOGY",
+                                synthgen.stop_entity_ids())
+    plan = _plan(cands)
+    # the generator stage emits all columns; the candidates stage input
+    # projection must be url+html only
+    assert "url" in plan and "html" in plan
+    for unused in ("warc_ts",):
+        # warc_ts should appear at most in the generator's output schema,
+        # never as an ArrowEvalPython/mapInPandas input to the candidate
+        # stage — cheap proxy: the plan's final Project before the second
+        # python stage carries only url, html
+        pass
+    # stronger check on a parquet-backed source (pruning reaches the scan)
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        pages.write.mode("overwrite").parquet(d)
+        cands2 = pages_to_candidates(spark.read.parquet(d), "GENE",
+                                     "ONTOLOGY", synthgen.stop_entity_ids())
+        plan2 = _plan(cands2)
+        read = [ln for ln in plan2.splitlines() if "ReadSchema" in ln][0]
+        assert "html" in read and "url" in read
+        assert "warc_ts" not in read and "text" not in read
+
+
+def test_vocab_is_single_scan(spark):
+    pages = synthgen.pages_df(spark, 10)
+    cands = pages_to_candidates(pages, "GENE", "ONTOLOGY",
+                                synthgen.stop_entity_ids())
+    plan = _plan(vocab_counts(cands))
+    # the old 4-branch union read the candidates stage four times; the
+    # single-scan shape has each upstream python stage exactly once
+    # (pages generator + candidates = 2 distinct MapInPandas nodes)
+    import re
+    nodes = set(re.findall(r"\((\d+)\) MapInPandas", plan))
+    assert len(nodes) == 2, plan
+    assert "Union" not in plan
