@@ -327,6 +327,42 @@ def _q_frame_sample(spark, sf_dir):
     return multimodal.frame_sample(blobs, every_k=2)
 
 
+def _q_triple_parity(spark, sf_dir):
+    """THE BASELINE metric, computed live: precision/recall of the Spark
+    pipeline's emitted triples vs the single-process oracle on the same
+    pages (target P/R >= 0.95; the engine achieves exact equality).
+    Rows-only by necessity — the oracle side IS the reference
+    implementation, not SQL."""
+    from kgre import pyoracle
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    pages_df = webtext.pages_from_documents(docs)
+    pipe = KgPipeline(spark, occur_count=2)
+    scored, _, _ = pipe.run(pages_df, synthgen.kb_rows(),
+                            synthgen.ontology_rows(),
+                            synthgen.stop_entity_ids())
+    from collections import Counter
+    key = lambda url, subj, obj, rel, prob: (  # noqa: E731
+        url, subj, obj, rel, round(prob, 9))
+    spark_ms = Counter(
+        key(r["url"], r["subj"], r["obj"], r["rel"], r["prob"])
+        for r in emitted_triples(scored).collect())
+    pages = [r.asDict() for r in pages_df.collect()]
+    triples, _, _ = pyoracle.run_pipeline(
+        pages, synthgen.kb_rows(), synthgen.ontology_rows(),
+        synthgen.stop_entity_ids(), occur_count=2)
+    oracle_ms = Counter(
+        key(t["url"], t["subj"], t["obj"], t["rel"], t["prob"])
+        for t in triples if t["prob"] > 0.5)
+    n_s, n_o = sum(spark_ms.values()), sum(oracle_ms.values())
+    tp = sum((spark_ms & oracle_ms).values())
+    return spark.createDataFrame(
+        [(n_s, n_o, tp,
+          round(tp / n_s, 6) if n_s else 1.0,
+          round(tp / n_o, 6) if n_o else 1.0)],
+        "n_spark long, n_oracle long, n_both long, "
+        "precision double, recall double")
+
+
 def _q_canonicalize(spark, sf_dir):
     """Canonicalization pass: rewrite triple endpoints through the
     connected-components map of SAME_AS-style edges (north-star)."""
@@ -375,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # KG pipeline (SURVEY.md §2.1-2.10; rows-only, non-SQL-expressible)
         "q_kg_flagship": _q_kg_flagship,
         "q_kg_candidates": _q_kg_candidates,
+        "q_triple_parity": _q_triple_parity,
         # aggregations / sorts (A1, A3, O1-O3)
         "q_vocab_topk": _q_vocab_topk,
         "q_entity_distribution": _q_entity_distribution,

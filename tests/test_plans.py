@@ -56,16 +56,9 @@ def test_candidates_stage_prunes_page_columns(spark):
     cands = pages_to_candidates(pages, "GENE", "ONTOLOGY",
                                 synthgen.stop_entity_ids())
     plan = _plan(cands)
-    # the generator stage emits all columns; the candidates stage input
-    # projection must be url+html only
     assert "url" in plan and "html" in plan
-    for unused in ("warc_ts",):
-        # warc_ts should appear at most in the generator's output schema,
-        # never as an ArrowEvalPython/mapInPandas input to the candidate
-        # stage — cheap proxy: the plan's final Project before the second
-        # python stage carries only url, html
-        pass
-    # stronger check on a parquet-backed source (pruning reaches the scan)
+    # the real check is on a parquet-backed source (pruning must reach
+    # the scan)
     import tempfile
     with tempfile.TemporaryDirectory() as d:
         pages.write.mode("overwrite").parquet(d)
