@@ -31,7 +31,9 @@ def extract_text_from_html(html: bytes) -> str:
     """Deterministic boilerplate stripper for the synthetic page template
     (synthgen.HTML_TEMPLATE): the article body is the payload; nav/footer
     are boilerplate.  Pure function of the bytes."""
-    m = _ARTICLE_RE.search(html.decode("utf-8"))
+    # errors="replace": Common-Crawl html is full of invalid UTF-8; a
+    # deterministic replacement keeps the function total AND pure
+    m = _ARTICLE_RE.search(bytes(html).decode("utf-8", errors="replace"))
     return m.group(1) if m else ""
 
 

@@ -233,3 +233,16 @@ def test_empty_batch_frames_are_object_dtype():
     for pdf in (rows_to_pdf([]), _pages_pdf([])):
         assert len(pdf) == 0
         assert all(dt == object for dt in pdf.dtypes)
+
+
+def test_extract_total_on_hostile_bytes():
+    """Extractor must be a total, deterministic function of the bytes:
+    invalid UTF-8, empty, and article-less html all yield a string."""
+    from kgre.extract import extract_text_from_html
+
+    assert extract_text_from_html(b"") == ""
+    assert extract_text_from_html(b"<html>no article</html>") == ""
+    assert extract_text_from_html(b"\xff\xfe\x00garbage") == ""
+    hostile = b"<article><p>ok \xff\xfe body</p></article>"
+    out1, out2 = (extract_text_from_html(hostile) for _ in range(2))
+    assert out1 == out2 and "ok" in out1
