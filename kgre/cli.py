@@ -68,10 +68,34 @@ def mode_build(spark, args):
 def mode_score(spark, args):
     pages = _load_pages(spark, args)
     pipe = _pipe(spark, args)
-    scored, vocab_df, key_order = pipe.run(
-        pages, synthgen.kb_rows(), synthgen.ontology_rows(),
-        synthgen.stop_entity_ids(),
-        checkpoint_dir=(args.out + "/candidates") if args.checkpoint else None)
+    if args.resume:
+        # lineage-manifest resume (north_rule): the candidates stage runs
+        # per url-hash bucket; a rerun recomputes ONLY buckets missing
+        # from the manifest, then vocab/scoring read the materialized
+        # stage output (the reference's skip-if-.tfrecord-exists,
+        # relation_extraction.py:393-399, made per-partition + crash-safe)
+        from kgre.lineage import run_stage_with_resume
+        from kgre.score import score_candidates
+        from kgre.vocab import build_vocab, collect_vocab_sets
+
+        fwd, rev, key_order = pipe.prepare_kb(synthgen.kb_rows(),
+                                              synthgen.ontology_rows())
+        stop = synthgen.stop_entity_ids()
+        cands = run_stage_with_resume(
+            spark, pages, "candidates",
+            lambda part: pages_to_candidates(part, args.entity_a,
+                                             args.entity_b, stop,
+                                             min_partitions=0),
+            args.out + "/candidates", args.out + "/manifest",
+            n_buckets=args.buckets)
+        vocabs = collect_vocab_sets(build_vocab(cands, args.occur_count))
+        scored = score_candidates(cands, vocabs, key_order, fwd, rev)
+    else:
+        scored, vocab_df, key_order = pipe.run(
+            pages, synthgen.kb_rows(), synthgen.ontology_rows(),
+            synthgen.stop_entity_ids(),
+            checkpoint_dir=(args.out + "/candidates") if args.checkpoint
+            else None)
     write_triples(emitted_triples(scored), args.out + "/triples")
     n = spark.read.parquet(args.out + "/triples").count()
     print("SCORE ok: emitted=%d rels=%d" % (n, len(key_order)))
@@ -150,6 +174,11 @@ def main(argv=None):
                    help="vocab min count (reference uses 100 at corpus scale)")
     p.add_argument("--epochs", type=int, default=40,
                    help="training epochs (reference default is 250)")
+    p.add_argument("--resume", action="store_true",
+                   help="run the candidates stage per url-hash bucket with "
+                        "a lineage manifest; reruns skip completed buckets")
+    p.add_argument("--buckets", type=int, default=8,
+                   help="lineage bucket count for --resume")
     p.add_argument("--checkpoint", action="store_true",
                    help="materialize the candidates stage to parquet "
                         "(the reference's TFRecord boundary)")

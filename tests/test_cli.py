@@ -58,3 +58,22 @@ def test_cli_train(spark, tmp_path, monkeypatch):
     assert w.count() > 0
     assert {"kind", "feature", "rel", "weight"} == set(w.columns)
     assert w.filter("kind = '__bias__'").count() > 0
+
+
+def test_cli_score_resume_matches_plain(spark, tmp_path, monkeypatch):
+    """--resume (lineage-bucketed candidates stage) must emit the same
+    triples as the plain path, and a rerun must skip all buckets."""
+    plain, res = str(tmp_path / "plain"), str(tmp_path / "res")
+    _run(spark, monkeypatch, "score", plain)
+    _run(spark, monkeypatch, "score", res, extra=("--resume", "--buckets", "4"))
+    key = ["url", "sent_id", "pair_idx", "is_reverse", "rel"]
+    a = {tuple(r) for r in
+         spark.read.parquet(plain + "/triples").select(*key).collect()}
+    b = {tuple(r) for r in
+         spark.read.parquet(res + "/triples").select(*key).collect()}
+    assert a == b and a
+    m1 = spark.read.parquet(res + "/manifest")
+    assert m1.filter("status = 'ok'").count() == 4
+    # rerun: all buckets already in the manifest -> no new rows
+    _run(spark, monkeypatch, "score", res, extra=("--resume", "--buckets", "4"))
+    assert spark.read.parquet(res + "/manifest").count() == 4
