@@ -119,13 +119,27 @@ def _triples_throughput(master: str, sf_dir: str, n_docs: int) -> dict:
             "docs_per_s": round(n_docs / wall, 1)}
 
 
+def _throughput_subprocess(master: str, sf_dir: str, n_docs: int) -> dict:
+    """Run one parallelism level in a FRESH python process: a second
+    SparkSession created in the same JVM after spark.stop() is measurably
+    degraded (reproducibly up to ~8x slower stages), so each level gets a
+    clean process."""
+    import subprocess
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--scaling-one",
+         master, str(n_docs)],
+        env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+        capture_output=True, text=True, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def run_scaling() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "1200000"))
     lo_n, hi_n = (int(x) for x in os.environ.get(
         "SPARK_GRAFT_SCALE_LEVELS", "4,16").split(","))
-    lo = _triples_throughput(f"local[{lo_n}]", sf_dir, n_docs)
-    hi = _triples_throughput(f"local[{hi_n}]", sf_dir, n_docs)
+    lo = _throughput_subprocess(f"local[{lo_n}]", sf_dir, n_docs)
+    hi = _throughput_subprocess(f"local[{hi_n}]", sf_dir, n_docs)
     eff = round((hi["triples_per_s"] / lo["triples_per_s"])
                 / (hi_n / lo_n), 3)
     print(json.dumps({
@@ -139,7 +153,13 @@ def run_scaling() -> None:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-one" in sys.argv:
+        i = sys.argv.index("--scaling-one")
+        print(json.dumps(_triples_throughput(
+            sys.argv[i + 1],
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+            int(sys.argv[i + 2]))))
+    elif "--scaling" in sys.argv:
         run_scaling()
     else:
         run_bench()

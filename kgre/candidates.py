@@ -130,9 +130,11 @@ def _mask(tok) -> str:
     return tok["lemma"]
 
 
-def _instance_features(by_id, cells, nbrs, start, end):
+def _instance_features(by_id, cells, nbrs, start, end, between):
     """SDP features for one directed instance (start/end are
-    (between_idx, dep_idx) pairs)."""
+    (between_idx, dep_idx) pairs).  ``between`` is computed once per pair
+    by the caller — it is direction-independent (min/max of the same two
+    indices, instances.py:150-163)."""
     path = _bfs_path(nbrs, start[1], end[1])
     type_path, word_path, elements = [], [], []
     for i in range(len(path) - 1):
@@ -144,8 +146,6 @@ def _instance_features(by_id, cells, nbrs, start, end):
         if sw != "":
             word_path.append(sw)
         type_path.append(dep_type)
-    lo, hi = min(start[0], end[0]), max(start[0], end[0])
-    between = [_mask(by_id[i]) for i in range(lo + 1, hi)]
     return {
         "dep_path_string": " ".join(type_path),
         "sdp_types": type_path,
@@ -191,8 +191,11 @@ def sentence_candidates(url, sent_id, tokens, deps, entity_a, entity_b, stop):
                         pair_idx += 1
                         continue
                     g2g = "GENE" in tok1["ner"] and "GENE" in tok2["ner"]
+                    lo, hi = min(p0[0], p1[0]), max(p0[0], p1[0])
+                    between = [_mask(by_id[i]) for i in range(lo + 1, hi)]
                     for is_rev, (s, e) in ((False, (p0, p1)), (True, (p1, p0))):
-                        feats = _instance_features(by_id, cells, nbrs, s, e)
+                        feats = _instance_features(by_id, cells, nbrs, s, e,
+                                                   between)
                         rows.append(
                             {
                                 "url": url,
