@@ -56,8 +56,10 @@ def run_bench() -> None:
     spark = get_spark("kgre-bench", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
     qs = entry_mod.queries()
-    # warm the JVM/Arrow path once so q1 doesn't absorb session startup
-    _force(qs["q_token_count"](spark, sf_dir))
+    # warm the JVM/Arrow path AND the python workers once so q1 doesn't
+    # absorb session startup (q_kg_candidates has mapInPandas stages;
+    # a pure-Catalyst warm-up would leave worker spawn on the flagship)
+    _force(qs["q_kg_candidates"](spark, sf_dir))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
