@@ -252,6 +252,23 @@ def _q_broadcast_join(spark, sf_dir):
             .groupBy("r_name").agg(F.count("*").alias("n_suppliers")))
 
 
+_ALLOW1 = ["table", "key", "row"]
+_ALLOW2 = ["value", "scan", "agg"]
+
+
+def _q_entity_allowlist(spark, sf_dir):
+    """S5/F3: entity-id allowlist with cross-contamination rule over a
+    candidates-shaped table (kgre.candidates.allowlist_filter — the
+    declarative twin of the in-UDF filter)."""
+    from kgre.candidates import allowlist_filter
+    toks = F.split("text", " ")
+    pairs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.slice(toks, 1, 2).alias("pair_e1_ids"),
+        F.slice(toks, 3, 2).alias("pair_e2_ids"))
+    return allowlist_filter(pairs, _ALLOW1, _ALLOW2).select("doc_id")
+
+
 def _q_pair_generation(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
@@ -422,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fold_split": _q_fold_split,
         "q_broadcast_join": _q_broadcast_join,
         "q_pair_generation": _q_pair_generation,
+        "q_entity_allowlist": _q_entity_allowlist,
         # graph (S7/G4, north-star CC)
         "q_ontology_closure": _q_ontology_closure,
         "q_connected_components": _q_connected_components,
@@ -637,6 +655,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "q_entity_allowlist": """
+            WITH p AS (SELECT doc_id,
+                              string_split(text, ' ')[1:2] AS e1,
+                              string_split(text, ' ')[3:4] AS e2
+                       FROM documents)
+            SELECT doc_id FROM p
+            WHERE list_has_any(e1, ['table', 'key', 'row'])
+              AND NOT list_has_any(e2, ['table', 'key', 'row'])
+              AND list_has_any(e2, ['value', 'scan', 'agg'])
+              AND NOT list_has_any(e1, ['value', 'scan', 'agg'])
         """,
         "q_pair_generation": """
             SELECT n_name, count(*) AS n_pairs

@@ -155,11 +155,36 @@ def _instance_features(by_id, cells, nbrs, start, end, between):
     }
 
 
-def sentence_candidates(url, sent_id, tokens, deps, entity_a, entity_b, stop):
+def allowlist_keep(e1_ids, e2_ids, allow1, allow2) -> bool:
+    """S5/F3 entity-id allowlist with the cross-contamination rule
+    (load_data.py:553-567): when a list is given, the matching side must
+    intersect it AND the opposite side must NOT (a pair where e2 also
+    matches list1 is contaminated and dropped).  Either list may be None
+    (filter disabled for that side)."""
+    if allow1 is not None:
+        if not (e1_ids & allow1):
+            return False
+        if e2_ids & allow1:
+            return False
+    if allow2 is not None:
+        if not (e2_ids & allow2):
+            return False
+        if e1_ids & allow2:
+            return False
+    return True
+
+
+def sentence_candidates(url, sent_id, tokens, deps, entity_a, entity_b, stop,
+                        allow1=None, allow2=None):
     """One parsed sentence -> candidate instance rows (forward + reverse;
     reverse rows carry gene_to_gene so the scorer can drop non-gene-gene
     reverse instances while the vocab builder keeps them,
-    load_data.py:201-212)."""
+    load_data.py:201-212).
+
+    ``allow1``/``allow2``: optional entity-id allowlists (S5 id-list scan,
+    load_data.py:436-453) applied per pair with the contamination rule
+    (F3, load_data.py:553-567).  Like the stop filter, a dropped pair
+    still consumes its pair_idx."""
     if len(tokens) and not isinstance(tokens[0], dict):
         tokens = [dict(t) for t in tokens]  # Arrow struct rows -> dicts
     ents = _chunk_mentions(tokens)
@@ -187,7 +212,11 @@ def sentence_candidates(url, sent_id, tokens, deps, entity_a, entity_b, stop):
                     tok1, tok2 = by_id[p0[0]], by_id[p1[0]]
                     e1_ids = tok1["norm_ner"].split("|")
                     e2_ids = tok2["norm_ner"].split("|")
-                    if stop & set(e1_ids) or stop & set(e2_ids):
+                    e1_set, e2_set = set(e1_ids), set(e2_ids)
+                    if stop & e1_set or stop & e2_set:
+                        pair_idx += 1
+                        continue
+                    if not allowlist_keep(e1_set, e2_set, allow1, allow2):
                         pair_idx += 1
                         continue
                     g2g = "GENE" in tok1["ner"] and "GENE" in tok2["ner"]
@@ -221,6 +250,26 @@ _COLS = [
     "obj", "pair_e1_ids", "pair_e2_ids", "dep_path_string", "sdp_types",
     "sdp_words", "sdp_elements", "between_words",
 ]
+
+
+def allowlist_filter(cands: DataFrame, allow1=None, allow2=None) -> DataFrame:
+    """Declarative twin of ``allowlist_keep`` over a candidates DataFrame
+    (F3 as Catalyst expressions — ``arrays_overlap`` against literal
+    arrays, no shuffle, no Python).  Used when the allowlist arrives after
+    the candidates table is materialized; the in-UDF path in
+    ``sentence_candidates`` is equivalent and cheaper when known up front."""
+    from pyspark.sql import functions as F
+
+    keep = F.lit(True)
+    if allow1 is not None:
+        lit1 = F.array(*[F.lit(x) for x in sorted(allow1)])
+        keep = (keep & F.arrays_overlap("pair_e1_ids", lit1)
+                & ~F.arrays_overlap("pair_e2_ids", lit1))
+    if allow2 is not None:
+        lit2 = F.array(*[F.lit(x) for x in sorted(allow2)])
+        keep = (keep & F.arrays_overlap("pair_e2_ids", lit2)
+                & ~F.arrays_overlap("pair_e1_ids", lit2))
+    return cands.filter(keep)
 
 
 def candidates_from_sentences(sentences: DataFrame, entity_a: str,

@@ -53,10 +53,20 @@ def _pipe(spark, args) -> KgPipeline:
                       occur_count=args.occur_count)
 
 
+def _allowlists(args):
+    """S5 id-list scans (reference CLI passes optional entity-id TSVs,
+    load_data.py:436-453); None disables the F3 filter for that side."""
+    a1 = kbmod.load_id_list(args.allow1_file) if args.allow1_file else None
+    a2 = kbmod.load_id_list(args.allow2_file) if args.allow2_file else None
+    return a1, a2
+
+
 def mode_build(spark, args):
     pages = _load_pages(spark, args)
+    a1, a2 = _allowlists(args)
     cands = pages_to_candidates(pages, args.entity_a, args.entity_b,
-                                synthgen.stop_entity_ids())
+                                synthgen.stop_entity_ids(),
+                                allow1=a1, allow2=a2)
     cands.write.mode("overwrite").parquet(args.out + "/candidates")
     cands = spark.read.parquet(args.out + "/candidates")
     build_vocab(cands, args.occur_count).write.mode("overwrite").parquet(
@@ -68,6 +78,7 @@ def mode_build(spark, args):
 def mode_score(spark, args):
     pages = _load_pages(spark, args)
     pipe = _pipe(spark, args)
+    a1, a2 = _allowlists(args)
     if args.resume:
         # lineage-manifest resume (north_rule): the candidates stage runs
         # per url-hash bucket; a rerun recomputes ONLY buckets missing
@@ -85,7 +96,8 @@ def mode_score(spark, args):
             spark, pages, "candidates",
             lambda part: pages_to_candidates(part, args.entity_a,
                                              args.entity_b, stop,
-                                             min_partitions=0),
+                                             min_partitions=0,
+                                             allow1=a1, allow2=a2),
             args.out + "/candidates", args.out + "/manifest",
             n_buckets=args.buckets)
         vocabs = collect_vocab_sets(build_vocab(cands, args.occur_count))
@@ -95,7 +107,8 @@ def mode_score(spark, args):
             pages, synthgen.kb_rows(), synthgen.ontology_rows(),
             synthgen.stop_entity_ids(),
             checkpoint_dir=(args.out + "/candidates") if args.checkpoint
-            else None)
+            else None,
+            allow1=a1, allow2=a2)
     write_triples(emitted_triples(scored), args.out + "/triples")
     n = spark.read.parquet(args.out + "/triples").count()
     print("SCORE ok: emitted=%d rels=%d" % (n, len(key_order)))
@@ -172,6 +185,11 @@ def main(argv=None):
     p.add_argument("--entity-b", default="ONTOLOGY")
     p.add_argument("--occur-count", type=int, default=5,
                    help="vocab min count (reference uses 100 at corpus scale)")
+    p.add_argument("--allow1-file", default=None,
+                   help="entity-id allowlist TSV for side 1 (S5/F3, "
+                        "load_data.py:436-453, :553-567)")
+    p.add_argument("--allow2-file", default=None,
+                   help="entity-id allowlist TSV for side 2")
     p.add_argument("--epochs", type=int, default=40,
                    help="training epochs (reference default is 250)")
     p.add_argument("--resume", action="store_true",

@@ -123,6 +123,21 @@ def label_join(candidates: DataFrame, expanded_kb: DataFrame) -> DataFrame:
     )
 
 
+def load_id_list(path: str, column: int = 0, sep: str = "\t") -> set:
+    """S5 id-list scan (load_data.py:436-453): one TSV column -> entity-id
+    set.  Dictionary-sized like the reference's lists, so it is read
+    driver-side and shipped to the fused candidate stage in the closure
+    (pages_to_candidates(allow1=...)) — a map-side semi+anti join."""
+    ids = set()
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            ids.add(line.split(sep)[column])
+    return ids
+
+
 # ------------------------------------------------------- driver-side prep
 # The KB and ontology are definitionally dictionary-sized (the reference
 # holds them in driver RAM as Python sets, load_data.py:399-434); preparing

@@ -33,7 +33,8 @@ from kgre.vocab import build_vocab, collect_vocab_sets
 
 def pages_to_candidates(pages: DataFrame, entity_a: str, entity_b: str,
                         stop_ids, lang: str = "en",
-                        min_partitions: int | None = None) -> DataFrame:
+                        min_partitions: int | None = None,
+                        allow1=None, allow2=None) -> DataFrame:
     """Fused extract+parse+candidate stage (1 Python crossing).
 
     ``min_partitions``: the Python stage is the expensive one, so its
@@ -42,8 +43,14 @@ def pages_to_candidates(pages: DataFrame, entity_a: str, entity_b: str,
     of splits and the repartition is skipped). Defaults to 2x the session's
     defaultParallelism; the shuffle moves only (url, html) once, after the
     lang filter.
+
+    ``allow1``/``allow2``: optional entity-id allowlists (S5/F3,
+    load_data.py:436-453, :553-567) applied inside the fused stage —
+    broadcast-sized sets shipped in the closure, a map-side semi+anti join.
     """
     stop = frozenset(stop_ids)
+    a1 = frozenset(allow1) if allow1 is not None else None
+    a2 = frozenset(allow2) if allow2 is not None else None
 
     def run(batches):
         for pdf in batches:
@@ -54,7 +61,7 @@ def pages_to_candidates(pages: DataFrame, entity_a: str, entity_b: str,
                     rows.extend(
                         sentence_candidates(
                             url, s["sent_id"], s["tokens"], s["deps"],
-                            entity_a, entity_b, stop,
+                            entity_a, entity_b, stop, a1, a2,
                         )
                     )
             yield rows_to_pdf(rows)
@@ -87,13 +94,14 @@ class KgPipeline:
 
     def run(self, pages: DataFrame, kb_rows_list, onto_rows, stop_ids,
             checkpoint_dir: str | None = None,
-            repartition: int | None = None):
+            repartition: int | None = None,
+            allow1=None, allow2=None):
         """pages -> (scored triples DF, vocab DF, key_order)."""
         fwd, rev, key_order = self.prepare_kb(kb_rows_list, onto_rows)
         if repartition:
             pages = pages.repartition(repartition, "url")
         cands = pages_to_candidates(pages, self.entity_a, self.entity_b,
-                                    stop_ids)
+                                    stop_ids, allow1=allow1, allow2=allow2)
         if checkpoint_dir:
             # materialized stage boundary (reference: per-file TFRecord
             # shards, load_data.py:640-662) — vocab agg and scoring both

@@ -238,9 +238,14 @@ def parse_pages(pages: list[dict], entity_a: str, entity_b: str) -> list[OSenten
     return sentences
 
 
-def _instances_for_sentence(sent: OSentence, stop: set, n_rel: int):
+def _instances_for_sentence(sent: OSentence, stop: set, n_rel: int,
+                            allow1=None, allow2=None):
     """Common pair loop of build_instances_* (load_data.py:167-212,
-    251-290): stop filter, gene_to_gene flag, forward + reverse instance."""
+    251-290): stop filter, entity-id allowlist with cross-contamination
+    rule (load_data.py:553-567), gene_to_gene flag, forward + reverse
+    instance."""
+    from kgre.candidates import allowlist_keep
+
     for pair in sent.pairs:
         tok1 = sent.tokens[pair[0][0]]
         tok2 = sent.tokens[pair[1][0]]
@@ -248,20 +253,23 @@ def _instances_for_sentence(sent: OSentence, stop: set, n_rel: int):
         e2 = set(tok2["norm_ner"].split("|"))
         if e1 & stop or e2 & stop:
             continue
+        if not allowlist_keep(e1, e2, allow1, allow2):
+            continue
         gene_to_gene = "GENE" in tok1["ner"] and "GENE" in tok2["ner"]
         fwd_inst = OInstance(sent, pair[0], pair[1], [0] * n_rel)
         rev_inst = OInstance(sent, pair[1], pair[0], [0] * n_rel)
         yield pair, e1, e2, gene_to_gene, fwd_inst, rev_inst
 
 
-def build_vocabs(sentences, stop: set, key_order, occur_count: int):
+def build_vocabs(sentences, stop: set, key_order, occur_count: int,
+                 allow1=None, allow2=None):
     """Training vocabulary pass (load_data.py:162-220): both forward and
     reverse instances always feed the vocab counters; build_dataset keeps
     features with count >= occur_count (load_data.py:106-131)."""
     counters = {k: Counter() for k in KINDS}
     for sent in sentences:
         for (_, _, _, _, fwd_inst, rev_inst) in _instances_for_sentence(
-            sent, stop, len(key_order)
+            sent, stop, len(key_order), allow1, allow2
         ):
             for inst in (fwd_inst, rev_inst):
                 counters["dep_word"].update(inst.dependency_words)
@@ -291,14 +299,15 @@ def label_instance(entity_combos, key_order, fwd_kb, rev_kb):
     return fwd_label, rev_label
 
 
-def score_instances(sentences, stop, key_order, fwd_kb, rev_kb, vocabs):
+def score_instances(sentences, stop, key_order, fwd_kb, rev_kb, vocabs,
+                    allow1=None, allow2=None):
     """Testing pass (load_data.py:232-300) + logistic scoring + triple
     emission in write_output layout (relation_extraction.py:21-47):
     (pmid, subj_norm, obj_norm, rel, distant_label, probability)."""
     triples = []
     for sent in sentences:
         for (pair, e1, e2, g2g, fwd_inst, rev_inst) in _instances_for_sentence(
-            sent, stop, len(key_order)
+            sent, stop, len(key_order), allow1, allow2
         ):
             combos = set(itertools.product(e1, e2))
             fwd_label, rev_label = label_instance(combos, key_order, fwd_kb, rev_kb)
@@ -331,13 +340,14 @@ def score_instances(sentences, stop, key_order, fwd_kb, rev_kb, vocabs):
 
 
 def run_pipeline(pages, kb_rows_list, onto_rows, stop_ids, entity_a="GENE",
-                 entity_b="ONTOLOGY", occur_count=5):
+                 entity_b="ONTOLOGY", occur_count=5, allow1=None, allow2=None):
     """pages -> scored triples, end to end, single process."""
     closure = ontology_closure(onto_rows)
     fwd_kb, rev_kb = load_kb(kb_rows_list, closure)
     key_order = sorted(fwd_kb)
     stop = set(stop_ids)
     sentences = parse_pages(pages, entity_a, entity_b)
-    vocabs = build_vocabs(sentences, stop, key_order, occur_count)
-    triples = score_instances(sentences, stop, key_order, fwd_kb, rev_kb, vocabs)
+    vocabs = build_vocabs(sentences, stop, key_order, occur_count, allow1, allow2)
+    triples = score_instances(sentences, stop, key_order, fwd_kb, rev_kb,
+                              vocabs, allow1, allow2)
     return triples, vocabs, key_order

@@ -34,9 +34,11 @@ def chain_deps(n: int):
 
 
 def oracle_candidate_rows(url, sent_id, tokens, deps, entity_a, entity_b,
-                          stop=frozenset()):
+                          stop=frozenset(), allow1=None, allow2=None):
     """Reference-transliteration twin of sentence_candidates (same row
     layout) for exact comparison."""
+    from kgre.candidates import allowlist_keep
+
     sent = pyoracle.OSentence(url, sent_id, tokens, deps)
     sent.generate_entity_pairs(entity_a, entity_b)
     rows = []
@@ -49,6 +51,9 @@ def oracle_candidate_rows(url, sent_id, tokens, deps, entity_a, entity_b,
         e1 = set(tok1["norm_ner"].split("|"))
         e2 = set(tok2["norm_ner"].split("|"))
         if e1 & stop or e2 & stop:
+            pair_idx += 1
+            continue
+        if not allowlist_keep(e1, e2, allow1, allow2):
             pair_idx += 1
             continue
         g2g = "GENE" in tok1["ner"] and "GENE" in tok2["ner"]

@@ -77,3 +77,12 @@ def test_cli_score_resume_matches_plain(spark, tmp_path, monkeypatch):
     # rerun: all buckets already in the manifest -> no new rows
     _run(spark, monkeypatch, "score", res, extra=("--resume", "--buckets", "4"))
     assert spark.read.parquet(res + "/manifest").count() == 4
+
+
+def test_load_id_list(tmp_path):
+    # S5 id-list scan (load_data.py:436-453): TSV column -> set
+    from kgre import kb
+    p = tmp_path / "ids.tsv"
+    p.write_text("G00001\tname1\nG00002\tx\n\nG00003\ty\n")
+    assert kb.load_id_list(str(p)) == {"G00001", "G00002", "G00003"}
+    assert kb.load_id_list(str(p), column=1) == {"name1", "x", "y"}

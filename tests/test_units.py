@@ -150,6 +150,60 @@ def test_self_pair_and_missing_type_filters():
     assert all(r["gene_to_gene"] for r in rows)
 
 
+def test_allowlist_truth_table():
+    # F3 cross-contamination rule (load_data.py:553-567)
+    from kgre.candidates import allowlist_keep
+
+    e1, e2 = {"G1"}, {"GO:1"}
+    assert allowlist_keep(e1, e2, None, None)                # disabled
+    assert allowlist_keep(e1, e2, {"G1"}, None)              # e1 in list1
+    assert not allowlist_keep(e1, e2, {"G9"}, None)          # e1 not in list1
+    assert not allowlist_keep(e1, {"G1"}, {"G1"}, None)      # e2 contaminates list1
+    assert allowlist_keep(e1, e2, None, {"GO:1"})            # e2 in list2
+    assert not allowlist_keep(e1, e2, None, {"GO:9"})        # e2 not in list2
+    assert not allowlist_keep({"GO:1"}, e2, None, {"GO:1"})  # e1 contaminates list2
+    assert allowlist_keep(e1, e2, {"G1"}, {"GO:1"})          # both pass
+    assert not allowlist_keep(e1, e2, {"G1"}, {"GO:9"})      # one side fails
+    # pipe-split multi-id side: ANY id matching counts (set intersection)
+    assert allowlist_keep({"G3", "V3"}, e2, {"V3"}, None)
+    assert not allowlist_keep(e1, {"GO:1", "G1"}, {"G1"}, None)
+
+
+def test_allowlist_in_candidates_and_oracle_consumes_pair_idx():
+    toks = [tok(1, "GENE5"), tok(2, "word"), tok(3, "GENE6"), tok(4, "GO7")]
+    a1, a2 = frozenset({"G00006"}), frozenset({"GO:0000007"})
+    got = sentence_candidates("u", 0, toks, chain_deps(4), "GENE", "ONTOLOGY",
+                              frozenset(), a1, a2)
+    want = oracle_candidate_rows("u", 0, toks, chain_deps(4), "GENE",
+                                 "ONTOLOGY", allow1=a1, allow2=a2)
+    assert got == want
+    fwd = [r for r in got if not r["is_reverse"]]
+    assert {r["subj"] for r in fwd} == {"G00006"}
+    # the dropped GENE5 pair still consumed pair_idx (like the stop filter)
+    assert {r["pair_idx"] for r in fwd} == {1}
+
+
+def test_allowlist_filter_declarative_twin(spark):
+    # the Catalyst arrays_overlap filter keeps exactly what the in-UDF
+    # allowlist keeps, on the same candidates
+    from kgre.candidates import (allowlist_filter, candidates_from_sentences)
+
+    toks = [tok(1, "GENE5"), tok(2, "word"), tok(3, "GENE6"), tok(4, "GO7")]
+    sent = spark.createDataFrame(
+        [("u", 0, toks, chain_deps(4))],
+        "url string, sent_id int, tokens array<struct<id:int,word:string,"
+        "lemma:string,pos:string,ner:string,norm_ner:string>>, "
+        "deps array<struct<type:string,gov:int,dep:int>>")
+    cands = candidates_from_sentences(sent, "GENE", "ONTOLOGY", frozenset())
+    a1, a2 = {"G00006"}, {"GO:0000007"}
+    got = {(r["subj"], r["obj"], r["is_reverse"])
+           for r in allowlist_filter(cands, a1, a2).collect()}
+    want = {(r["subj"], r["obj"], r["is_reverse"])
+            for r in sentence_candidates("u", 0, toks, chain_deps(4), "GENE",
+                                         "ONTOLOGY", frozenset(), a1, a2)}
+    assert got == want and got
+
+
 def test_substring_entity_type_match():
     # 'GENE' matches both HUMAN_GENE and VIRUS_GENE keys (F6)
     toks = [tok(1, "VGENE2"), tok(2, "GO3")]
