@@ -38,7 +38,11 @@ CANDIDATES_SCHEMA = (
     "pair_e1_ids array<string>, pair_e2_ids array<string>, "
     "dep_path_string string, sdp_types array<string>, "
     "sdp_words array<string>, sdp_elements array<string>, "
-    "between_words array<string>"
+    "between_words array<string>, "
+    # S14 rich-predict support: the sentence text plus the per-instance
+    # endpoint token ids (1-based) let the predict sink rebuild the
+    # ***entity***-highlighted sentence without re-parsing
+    "sent_text string, start_tok int, end_tok int"
 )
 
 
@@ -175,7 +179,7 @@ def allowlist_keep(e1_ids, e2_ids, allow1, allow2) -> bool:
 
 
 def sentence_candidates(url, sent_id, tokens, deps, entity_a, entity_b, stop,
-                        allow1=None, allow2=None):
+                        allow1=None, allow2=None, sent_text=None):
     """One parsed sentence -> candidate instance rows (forward + reverse;
     reverse rows carry gene_to_gene so the scorer can drop non-gene-gene
     reverse instances while the vocab builder keeps them,
@@ -187,6 +191,10 @@ def sentence_candidates(url, sent_id, tokens, deps, entity_a, entity_b, stop,
     still consumes its pair_idx."""
     if len(tokens) and not isinstance(tokens[0], dict):
         tokens = [dict(t) for t in tokens]  # Arrow struct rows -> dicts
+    if sent_text is None:
+        # tokenize() splits on whitespace, so the joined words ARE the
+        # (whitespace-normalized) sentence text
+        sent_text = " ".join(t["word"] for t in tokens)
     ents = _chunk_mentions(tokens)
     t1 = sorted(k for k in ents if entity_a in k)
     t2 = sorted(k for k in ents if entity_b in k)
@@ -236,10 +244,39 @@ def sentence_candidates(url, sent_id, tokens, deps, entity_a, entity_b, stop,
                                 "obj": by_id[e[0]]["norm_ner"],
                                 "pair_e1_ids": e1_ids,
                                 "pair_e2_ids": e2_ids,
+                                "sent_text": sent_text,
+                                "start_tok": s[0],
+                                "end_tok": e[0],
                                 **feats,
                             }
                         )
                     pair_idx += 1
+    return rows
+
+
+def sentence_mention_rows(url, tokens, entity_a, entity_b):
+    """Mention-level EVAL_DATA rows (S15/X5, load_data.py:843-871): for a
+    sentence kept by load_xml (both entity types present by SUBSTRING
+    match), count each mention under the EXACT NER key ``entity_a`` as
+    ``norm_ner(first token) + '|' + '_'.join(lemmas)``; ``entity_b``
+    mentions are counted only when the exact ``entity_a`` key is present
+    (the reference nests the second loop, load_data.py:861-868)."""
+    if len(tokens) and not isinstance(tokens[0], dict):
+        tokens = [dict(t) for t in tokens]
+    ents = _chunk_mentions(tokens)
+    if not any(entity_a in k for k in ents) or not any(entity_b in k for k in ents):
+        return []
+    by_id = {t["id"]: t for t in tokens}
+    rows = []
+    if entity_a in ents:
+        for side, key in (("e1", entity_a), ("e2", entity_b)):
+            if key not in ents:
+                continue
+            for m in ents[key]:
+                phrase = "_".join(by_id[i]["lemma"] for i in m)
+                norm = by_id[m[0]]["norm_ner"] or ""
+                rows.append({"url": url, "side": side,
+                             "entity_key": norm + "|" + phrase})
     return rows
 
 
@@ -248,7 +285,8 @@ def sentence_candidates(url, sent_id, tokens, deps, entity_a, entity_b, stop,
 _COLS = [
     "url", "sent_id", "pair_idx", "is_reverse", "gene_to_gene", "subj",
     "obj", "pair_e1_ids", "pair_e2_ids", "dep_path_string", "sdp_types",
-    "sdp_words", "sdp_elements", "between_words",
+    "sdp_words", "sdp_elements", "between_words", "sent_text", "start_tok",
+    "end_tok",
 ]
 
 

@@ -115,24 +115,35 @@ def mode_score(spark, args):
 
 
 def mode_predict(spark, args):
+    from kgre.score import highlight_sentences
+
     pages = _load_pages(spark, args)
     pipe = _pipe(spark, args)
+    a1, a2 = _allowlists(args)
     scored, _, _ = pipe.run(pages, synthgen.kb_rows(),
                             synthgen.ontology_rows(),
-                            synthgen.stop_entity_ids())
-    # rich sink S14: all pairs with probabilities, no 0.5 gate
-    # (reference relation_extraction.py:548-562 writes every instance)
-    out = scored.withColumn(
+                            synthgen.stop_entity_ids(),
+                            allow1=a1, allow2=a2, with_sentence=True)
+    # rich sink S14: all pairs with probabilities, no 0.5 gate; label is
+    # -1 in predict mode (build_instances_predict, load_data.py:336-338),
+    # and each row carries the ***entity***-highlighted sentence in the
+    # reference's TSV layout PMID/E1/E2/LABEL/PROB/SENTENCE
+    # (relation_extraction.py:548-562)
+    out = highlight_sentences(scored).withColumn("label", F.lit(-1))
+    out = out.withColumn(
         "display",
-        F.concat_ws("\t", "url", "subj", "obj", "rel",
-                    F.round("prob", 6).cast("string")))
-    out.write.mode("overwrite").partitionBy("rel").parquet(
+        F.concat_ws("\t", "url", "subj", "obj",
+                    F.col("label").cast("string"),
+                    F.round("prob", 6).cast("string"), "sentence"))
+    out.drop("sent_text").write.mode("overwrite").partitionBy("rel").parquet(
         args.out + "/predictions")
     print("PREDICT ok: rows=%d" %
           spark.read.parquet(args.out + "/predictions").count())
 
 
 def mode_eval_data(spark, args):
+    from kgre.pipeline import pages_to_mentions
+
     pages = _load_pages(spark, args)
     cands = pages_to_candidates(pages, args.entity_a, args.entity_b,
                                 synthgen.stop_entity_ids())
@@ -142,6 +153,13 @@ def mode_eval_data(spark, args):
         (cands.groupBy(side).agg(F.count("*").alias("cnt"))
          .orderBy("cnt", side)
          .write.mode("overwrite").parquet(f"{args.out}/dist_{side}"))
+    # X5 (load_data.py:828-871): mention-level norm|lemma-phrase
+    # distribution; entity types are EXACT NER keys here (the reference
+    # dict-membership test), e.g. HUMAN_GENE, not the GENE substring
+    mentions = pages_to_mentions(pages, args.eval_ner_a, args.eval_ner_b)
+    (mentions.groupBy("side", "entity_key").agg(F.count("*").alias("cnt"))
+     .orderBy("cnt", "entity_key")
+     .write.mode("overwrite").parquet(f"{args.out}/dist_phrases"))
     print("EVAL_DATA ok")
 
 
@@ -190,6 +208,10 @@ def main(argv=None):
                         "load_data.py:436-453, :553-567)")
     p.add_argument("--allow2-file", default=None,
                    help="entity-id allowlist TSV for side 2")
+    p.add_argument("--eval-ner-a", default="HUMAN_GENE",
+                   help="exact NER key for eval-data phrase counts (X5)")
+    p.add_argument("--eval-ner-b", default="ONTOLOGY",
+                   help="exact NER key for eval-data phrase counts, side 2")
     p.add_argument("--epochs", type=int, default=40,
                    help="training epochs (reference default is 250)")
     p.add_argument("--resume", action="store_true",

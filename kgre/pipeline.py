@@ -62,6 +62,7 @@ def pages_to_candidates(pages: DataFrame, entity_a: str, entity_b: str,
                         sentence_candidates(
                             url, s["sent_id"], s["tokens"], s["deps"],
                             entity_a, entity_b, stop, a1, a2,
+                            sent_text=s["sent_text"],
                         )
                     )
             yield rows_to_pdf(rows)
@@ -72,6 +73,38 @@ def pages_to_candidates(pages: DataFrame, entity_a: str, entity_b: str,
     slim = pages.filter(F.col("lang") == lang).select("url", "html")
     slim = ensure_min_partitions(slim, cols=("url",), target=min_partitions)
     return slim.mapInPandas(run, schema=CANDIDATES_SCHEMA)
+
+
+MENTIONS_SCHEMA = "url string, side string, entity_key string"
+
+
+def pages_to_mentions(pages: DataFrame, entity_a: str, entity_b: str,
+                      lang: str = "en",
+                      min_partitions: int | None = None) -> DataFrame:
+    """Fused extract+parse+mention stage for EVAL_DATA (S15/X5,
+    load_data.py:828-871): one row per counted mention occurrence;
+    ``entity_a``/``entity_b`` are EXACT NER keys here (the reference's
+    dict-membership test), unlike the substring match of pair generation."""
+    from kgre.candidates import sentence_mention_rows
+
+    def run(batches):
+        cols = ("url", "side", "entity_key")
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                text = extract_text_from_html(html)
+                for s in nlp.parse_text(text):
+                    rows.extend(sentence_mention_rows(url, s["tokens"],
+                                                      entity_a, entity_b))
+            if rows:
+                yield pd.DataFrame({c: [r[c] for r in rows] for c in cols})
+            else:
+                yield pd.DataFrame({c: pd.Series([], dtype=object)
+                                    for c in cols})
+
+    slim = pages.filter(F.col("lang") == lang).select("url", "html")
+    slim = ensure_min_partitions(slim, cols=("url",), target=min_partitions)
+    return slim.mapInPandas(run, schema=MENTIONS_SCHEMA)
 
 
 class KgPipeline:
@@ -95,7 +128,7 @@ class KgPipeline:
     def run(self, pages: DataFrame, kb_rows_list, onto_rows, stop_ids,
             checkpoint_dir: str | None = None,
             repartition: int | None = None,
-            allow1=None, allow2=None):
+            allow1=None, allow2=None, with_sentence: bool = False):
         """pages -> (scored triples DF, vocab DF, key_order)."""
         fwd, rev, key_order = self.prepare_kb(kb_rows_list, onto_rows)
         if repartition:
@@ -114,7 +147,8 @@ class KgPipeline:
             cands = cands.persist()
         vocab_df = build_vocab(cands, self.occur_count)
         vocabs = collect_vocab_sets(vocab_df)
-        scored = score_candidates(cands, vocabs, key_order, fwd, rev)
+        scored = score_candidates(cands, vocabs, key_order, fwd, rev,
+                                  with_sentence=with_sentence)
         return scored, vocab_df, key_order
 
 

@@ -39,6 +39,12 @@ TRIPLES_SCHEMA = (
     "subj string, obj string, rel string, label int, prob double"
 )
 
+# S14 rich predict sink carries the sentence + endpoint token ids so the
+# ***entity*** highlighting can be rebuilt without re-parsing
+PREDICT_SCHEMA = TRIPLES_SCHEMA + (
+    ", sent_text string, start_tok int, end_tok int"
+)
+
 
 def build_weight_table(vocabs: dict[str, set], key_order: list[str]):
     """({kind: {feature: row}}, W[n_feat, n_rel], bias[n_rel]) driver-side.
@@ -71,11 +77,16 @@ def score_candidates(
     fwd_kb: dict[str, set],
     rev_kb: dict[str, set],
     weight_table=None,
+    with_sentence: bool = False,
 ) -> DataFrame:
     """candidates -> scored triples (one row per instance x relation).
 
     ``weight_table``: optional (idx, W, bias) from an offline training run
-    (kgre/train.py, M2); defaults to the frozen deterministic model."""
+    (kgre/train.py, M2); defaults to the frozen deterministic model.
+    ``with_sentence``: carry (sent_text, start_tok, end_tok) through the
+    scorer for the S14 rich predict sink (relation_extraction.py:70-80,
+    :548-562); off for the TEST path so the hot Arrow boundary never moves
+    sentence strings."""
     spark = candidates.sparkSession
     if weight_table is None:
         idx, w_mat, bias_vec = build_weight_table(vocabs, key_order)
@@ -146,27 +157,55 @@ def score_candidates(
             if hit_rows:
                 np.add.at(z, np.asarray(hit_rows), W[np.asarray(hit_feats)])
             probs = 1.0 / (1.0 + np.exp(-z))
-            out = pd.DataFrame(
-                {
-                    "url": np.repeat(pdf["url"].to_numpy(), n_rel),
-                    "sent_id": np.repeat(pdf["sent_id"].to_numpy(), n_rel),
-                    "pair_idx": np.repeat(pdf["pair_idx"].to_numpy(), n_rel),
-                    "is_reverse": np.repeat(pdf["is_reverse"].to_numpy(), n_rel),
-                    "subj": np.repeat(pdf["subj"].to_numpy(), n_rel),
-                    "obj": np.repeat(pdf["obj"].to_numpy(), n_rel),
-                    "rel": np.tile(np.array(keys, dtype=object), n),
-                    "label": labels.ravel(),
-                    "prob": probs.ravel(),
-                }
-            )
-            yield out
+            cols = {
+                "url": np.repeat(pdf["url"].to_numpy(), n_rel),
+                "sent_id": np.repeat(pdf["sent_id"].to_numpy(), n_rel),
+                "pair_idx": np.repeat(pdf["pair_idx"].to_numpy(), n_rel),
+                "is_reverse": np.repeat(pdf["is_reverse"].to_numpy(), n_rel),
+                "subj": np.repeat(pdf["subj"].to_numpy(), n_rel),
+                "obj": np.repeat(pdf["obj"].to_numpy(), n_rel),
+                "rel": np.tile(np.array(keys, dtype=object), n),
+                "label": labels.ravel(),
+                "prob": probs.ravel(),
+            }
+            if with_sentence:
+                for c in ("sent_text", "start_tok", "end_tok"):
+                    cols[c] = np.repeat(pdf[c].to_numpy(), n_rel)
+            yield pd.DataFrame(cols)
 
+    # explicit projection: mapInPandas ships every input column through
+    # Arrow, so prune to exactly what the scorer reads (keeps sdp_types —
+    # and, in TEST mode, the sentence strings — off the hot boundary)
+    needed = ["url", "sent_id", "pair_idx", "is_reverse", "subj", "obj",
+              "pair_e1_ids", "pair_e2_ids", "dep_path_string", "sdp_words",
+              "sdp_elements", "between_words"]
+    if with_sentence:
+        needed += ["sent_text", "start_tok", "end_tok"]
     scorable = candidates.filter(
         (~F.col("is_reverse")) | F.col("gene_to_gene")
-    )
-    return scorable.mapInPandas(run, schema=TRIPLES_SCHEMA)
+    ).select(*needed)
+    schema = PREDICT_SCHEMA if with_sentence else TRIPLES_SCHEMA
+    return scorable.mapInPandas(run, schema=schema)
 
 
 def emitted_triples(scored: DataFrame) -> DataFrame:
     """Triples the pipeline asserts true: prob > 0.5 (tf_feed_forward.py:163)."""
     return scored.filter(F.col("prob") > 0.5)
+
+
+def highlight_sentences(scored: DataFrame) -> DataFrame:
+    """S14: add a ``sentence`` column with the two pair-endpoint tokens
+    wrapped as ``***word***`` (reference relation_extraction.py:70-80 —
+    that code indexes sentence words by ``pair[x]`` tuples and crashes,
+    flagged WORK IN PROGRESS at :53; this implements the evident intent,
+    marking tokens ``pair[0][0]`` and ``pair[1][0]``).  Pure Catalyst
+    (split/transform/array_join) — no Python."""
+    words = F.split("sent_text", " ")
+    marked = F.transform(
+        words,
+        lambda w, i: F.when(
+            (i + 1 == F.col("start_tok")) | (i + 1 == F.col("end_tok")),
+            F.concat(F.lit("***"), w, F.lit("***")),
+        ).otherwise(w),
+    )
+    return scored.withColumn("sentence", F.array_join(marked, " "))

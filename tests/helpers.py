@@ -57,6 +57,7 @@ def oracle_candidate_rows(url, sent_id, tokens, deps, entity_a, entity_b,
             pair_idx += 1
             continue
         g2g = "GENE" in tok1["ner"] and "GENE" in tok2["ner"]
+        sent_text = " ".join(t["word"] for t in tokens)
         for is_rev, (s, e) in ((False, (pair[0], pair[1])),
                                (True, (pair[1], pair[0]))):
             inst = pyoracle.OInstance(sent, s, e, [0])
@@ -71,6 +72,9 @@ def oracle_candidate_rows(url, sent_id, tokens, deps, entity_a, entity_b,
                     "obj": sent.tokens[e[0]]["norm_ner"],
                     "pair_e1_ids": tok1["norm_ner"].split("|"),
                     "pair_e2_ids": tok2["norm_ner"].split("|"),
+                    "sent_text": sent_text,
+                    "start_tok": s[0],
+                    "end_tok": e[0],
                     "dep_path_string": inst.dependency_path_string,
                     "sdp_types": inst.dependency_path_list,
                     "sdp_words": inst.dependency_words,

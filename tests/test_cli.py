@@ -39,11 +39,29 @@ def test_cli_predict_and_eval(spark, tmp_path, monkeypatch):
     preds = spark.read.parquet(out + "/predictions")
     # predict keeps every instance row (no prob>0.5 gate)
     assert preds.count() >= preds.filter("prob > 0.5").count() > 0
+    # S14: label is -1 (load_data.py:336-338) and every row carries the
+    # ***entity***-highlighted sentence with exactly the endpoint tokens
+    # marked (relation_extraction.py:70-80 intent)
+    assert preds.filter("label != -1").count() == 0
+    for r in preds.select("sentence", "start_tok", "end_tok").limit(20).collect():
+        words = r["sentence"].split(" ")
+        for t in (r["start_tok"], r["end_tok"]):
+            w = words[t - 1]
+            assert w.startswith("***") and w.endswith("***") and len(w) > 6
+        n_marked = sum(w.startswith("***") for w in words)
+        assert n_marked == len({r["start_tok"], r["end_tok"]})
+    # display column mirrors the reference TSV layout incl. the sentence
+    d = preds.select("display").first()["display"]
+    assert d.count("\t") == 5 and "***" in d
 
     out3 = str(tmp_path / "eval")
     _run(spark, monkeypatch, "eval-data", out3)
     dist = spark.read.parquet(out3 + "/dist_subj")
     assert dist.count() > 0
+    # X5: mention-level norm|lemma-phrase distribution
+    ph = spark.read.parquet(out3 + "/dist_phrases")
+    assert ph.filter("side = 'e1'").count() > 0
+    assert ph.filter("entity_key like '%|%'").count() == ph.count()
 
 
 def test_cli_rejects_unknown_mode():

@@ -211,6 +211,59 @@ def test_substring_entity_type_match():
     assert len([r for r in rows if not r["is_reverse"]]) == 2  # two type keys
 
 
+# --------------------------------------------- S14 highlight / X5 mentions
+
+
+def test_predict_highlighting_marks_endpoints(spark):
+    # multi-token mention [1,2] + GO mention [4]: endpoints are the
+    # between-boundary tokens (pair[x][0] intent of the WIP reference
+    # sink, relation_extraction.py:70-80)
+    from kgre.score import highlight_sentences
+
+    toks = [tok(1, "GENE5"), tok(2, "GENE5"), tok(3, "binds"), tok(4, "GO7")]
+    rows = both(toks, chain_deps(4))
+    fwd = [r for r in rows if not r["is_reverse"]][0]
+    assert (fwd["sent_text"], fwd["start_tok"], fwd["end_tok"]) == (
+        "GENE5 GENE5 binds GO7", 2, 4)
+    df = spark.createDataFrame(
+        [(fwd["sent_text"], fwd["start_tok"], fwd["end_tok"])],
+        "sent_text string, start_tok int, end_tok int")
+    got = highlight_sentences(df).first()["sentence"]
+    assert got == "GENE5 ***GENE5*** binds ***GO7***"
+    # reverse instance swaps the marks' roles but marks the same tokens
+    rev = [r for r in rows if r["is_reverse"]][0]
+    assert (rev["start_tok"], rev["end_tok"]) == (4, 2)
+
+
+def test_predict_highlighting_pipe_ner_surface_form(spark):
+    from kgre.score import highlight_sentences
+
+    toks = [tok(1, "VGENE3"), tok(2, "word"), tok(3, "GO2")]
+    fwd = [r for r in both(toks, chain_deps(3)) if not r["is_reverse"]][0]
+    df = spark.createDataFrame(
+        [(fwd["sent_text"], fwd["start_tok"], fwd["end_tok"])],
+        "sent_text string, start_tok int, end_tok int")
+    assert (highlight_sentences(df).first()["sentence"]
+            == "***VGENE3*** word ***GO2***")
+
+
+def test_eval_mention_rows_exact_key_and_phrases():
+    # X5 (load_data.py:843-871): exact-NER-key counting, '_'-joined lemma
+    # phrase keyed by the first token's norm id
+    from kgre.candidates import sentence_mention_rows
+
+    toks = [tok(1, "GENE5"), tok(2, "GENE5"), tok(3, "binds"), tok(4, "GO7")]
+    rows = sentence_mention_rows("u", toks, "HUMAN_GENE", "ONTOLOGY")
+    assert {(r["side"], r["entity_key"]) for r in rows} == {
+        ("e1", "G00005|gene5_gene5"), ("e2", "GO:0000007|go7")}
+    # substring key does NOT count (dict-membership test, :853): sentence
+    # is retained (substring presence) but the exact 'GENE' key is absent
+    assert sentence_mention_rows("u", toks, "GENE", "ONTOLOGY") == []
+    # sentence without the entity_b type at all -> not retained by load_xml
+    toks2 = [tok(1, "GENE5"), tok(2, "word")]
+    assert sentence_mention_rows("u", toks2, "HUMAN_GENE", "ONTOLOGY") == []
+
+
 # -------------------------------------------------------- label truth table
 
 
