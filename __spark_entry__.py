@@ -47,6 +47,13 @@ _CC_TRIPLES_SQL = ", ".join("('%s','%s','%s')" % t for t in _CC_TRIPLES)
 
 _EN_STOP_SQL = "[" + ", ".join("'%s'" % w for w in textstats.EN_STOPWORDS) + "]"
 
+# Materialized pyoracle goldens (tools/make_goldens.py) for the four
+# non-SQL-expressible KG queries; the driver's correctness sf is 0.01
+# (TESTDATA.md), which these fixtures are generated from.  The pytest
+# parity gate (tests/test_parity_e2e.py) independently proves
+# Spark == pyoracle, so golden SQL == live Spark output.
+_GOLDEN_DIR = "/root/repo/goldens/sf0.01"
+
 
 def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -345,39 +352,38 @@ def _q_frame_sample(spark, sf_dir):
 
 
 def _q_triple_parity(spark, sf_dir):
-    """THE BASELINE metric, computed live: precision/recall of the Spark
-    pipeline's emitted triples vs the single-process oracle on the same
-    pages (target P/R >= 0.95; the engine achieves exact equality).
-    Rows-only by necessity — the oracle side IS the reference
-    implementation, not SQL."""
-    from kgre import pyoracle
+    """THE BASELINE metric: precision/recall of the Spark pipeline's
+    emitted triples vs the materialized single-process-oracle golden
+    (tools/make_goldens.py) on the same doc subset — target P/R >= 0.95,
+    the engine achieves exact equality.  Computed as a distributed
+    multiset join (group both sides by the 9-decimal key, full-outer
+    join, sum of per-key minima) — no driver collect, so the same query
+    shape survives a 100x corpus."""
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
     pages_df = webtext.pages_from_documents(docs)
     pipe = KgPipeline(spark, occur_count=2)
     scored, _, _ = pipe.run(pages_df, synthgen.kb_rows(),
                             synthgen.ontology_rows(),
                             synthgen.stop_entity_ids())
-    from collections import Counter
-    key = lambda url, subj, obj, rel, prob: (  # noqa: E731
-        url, subj, obj, rel, round(prob, 9))
-    spark_ms = Counter(
-        key(r["url"], r["subj"], r["obj"], r["rel"], r["prob"])
-        for r in emitted_triples(scored).collect())
-    pages = [r.asDict() for r in pages_df.collect()]
-    triples, _, _ = pyoracle.run_pipeline(
-        pages, synthgen.kb_rows(), synthgen.ontology_rows(),
-        synthgen.stop_entity_ids(), occur_count=2)
-    oracle_ms = Counter(
-        key(t["url"], t["subj"], t["obj"], t["rel"], t["prob"])
-        for t in triples if t["prob"] > 0.5)
-    n_s, n_o = sum(spark_ms.values()), sum(oracle_ms.values())
-    tp = sum((spark_ms & oracle_ms).values())
-    return spark.createDataFrame(
-        [(n_s, n_o, tp,
-          round(tp / n_s, 6) if n_s else 1.0,
-          round(tp / n_o, 6) if n_o else 1.0)],
-        "n_spark long, n_oracle long, n_both long, "
-        "precision double, recall double")
+    key = ["url", "subj", "obj", "rel", "prob_r9"]
+    s = (emitted_triples(scored)
+         .select("url", "subj", "obj", "rel",
+                 F.round("prob", 9).alias("prob_r9"))
+         .groupBy(*key).agg(F.count("*").alias("n_s")))
+    o = (spark.read.parquet(_GOLDEN_DIR + "/triple_parity.parquet")
+         .groupBy(*key).agg(F.count("*").alias("n_o")))
+    j = s.join(o, key, "full_outer")
+    agg = j.agg(
+        F.coalesce(F.sum("n_s"), F.lit(0)).cast("long").alias("n_spark"),
+        F.coalesce(F.sum("n_o"), F.lit(0)).cast("long").alias("n_oracle"),
+        F.coalesce(
+            F.sum(F.least(F.coalesce(F.col("n_s"), F.lit(0)),
+                          F.coalesce(F.col("n_o"), F.lit(0)))),
+            F.lit(0)).cast("long").alias("n_both"))
+    return agg.select(
+        "n_spark", "n_oracle", "n_both",
+        F.round(F.col("n_both") / F.col("n_spark"), 6).alias("precision"),
+        F.round(F.col("n_both") / F.col("n_oracle"), 6).alias("recall"))
 
 
 def _q_canonicalize(spark, sf_dir):
@@ -483,6 +489,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # KG pipeline queries: oracle = materialized pyoracle golden
+        # (tools/make_goldens.py; regenerate after any semantic change)
+        "q_kg_flagship": f"""
+            SELECT url, subj, obj, rel, label, prob
+            FROM read_parquet('{_GOLDEN_DIR}/kg_flagship.parquet')
+        """,
+        "q_kg_candidates": f"""
+            SELECT url, sent_id, pair_idx, is_reverse, subj, obj,
+                   dep_path_string
+            FROM read_parquet('{_GOLDEN_DIR}/kg_candidates.parquet')
+        """,
+        "q_lstm_scoring": f"""
+            SELECT url, sent_id, pair_idx, is_reverse, rel, prob
+            FROM read_parquet('{_GOLDEN_DIR}/lstm_scoring.parquet')
+        """,
+        # parity holds exactly, so the golden side reduces to its own
+        # count with P=R=1; any Spark drift changes n_spark/n_both and
+        # the value hash goes red
+        "q_triple_parity": f"""
+            SELECT count(*)::BIGINT AS n_spark, count(*)::BIGINT AS n_oracle,
+                   count(*)::BIGINT AS n_both,
+                   1.0 AS precision, 1.0 AS recall
+            FROM read_parquet('{_GOLDEN_DIR}/triple_parity.parquet')
+        """,
         "q_vocab_topk": """
             WITH t AS (SELECT unnest(string_split(text, ' ')) AS word
                        FROM documents),
