@@ -187,8 +187,37 @@ def mode_train(spark, args):
         spark.read.parquet(args.out + "/weights").count()))
 
 
+def mode_train_lstm(spark, args):
+    """Reference TRAIN_LSTM (M4, tf_lstm.py:75-368): candidates -> LSTM
+    vocabs (min-count 0, load_data.py:605-610) -> offline numpy Adam+BPTT
+    fit -> weights table keyed by feature/relation string."""
+    from kgre import lstm, lstm_train
+
+    pages = _load_pages(spark, args)
+    a1, a2 = _allowlists(args)
+    cands = pages_to_candidates(pages, args.entity_a, args.entity_b,
+                                synthgen.stop_entity_ids(),
+                                allow1=a1, allow2=a2).persist()
+    types = [r["f"] for r in
+             cands.selectExpr("explode(sdp_types) f").distinct().collect()]
+    words = [r["f"] for r in
+             cands.selectExpr("explode(sdp_words) f").distinct().collect()]
+    dep_vocab, word_vocab = lstm.lstm_vocabs(types, words)
+    closure = kbmod.ontology_closure_dict(synthgen.ontology_rows())
+    fwd, rev = kbmod.load_kb_sets(synthgen.kb_rows(), closure)
+    key_order = sorted(fwd)
+    params, losses = lstm_train.train_lstm_model(
+        cands, dep_vocab, word_vocab, key_order, fwd, rev,
+        epochs=args.epochs)
+    lstm_train.lstm_weights_to_df(
+        spark, params, dep_vocab, word_vocab, key_order
+    ).write.mode("overwrite").parquet(args.out + "/lstm_weights")
+    print("TRAIN_LSTM ok: loss %.4f -> %.4f" % (losses[0], losses[-1]))
+
+
 MODES = {"build": mode_build, "score": mode_score, "predict": mode_predict,
-         "eval-data": mode_eval_data, "train": mode_train}
+         "eval-data": mode_eval_data, "train": mode_train,
+         "train-lstm": mode_train_lstm}
 
 
 def main(argv=None):

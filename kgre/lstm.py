@@ -152,16 +152,26 @@ def lstm_logits(h, weights):
 
 
 def score_candidates_lstm(candidates: DataFrame, dep_vocab, word_vocab,
-                          key_order) -> DataFrame:
+                          key_order, params=None) -> DataFrame:
     """candidates -> per-(instance x relation) LSTM probabilities.
     Everything ships once per executor as a broadcast; the UDF is pure
-    batched numpy (no per-row Python beyond the id encode)."""
+    batched numpy (no per-row Python beyond the id encode).
+
+    ``params``: optional trained weight dict from kgre.lstm_train (M4) —
+    keys word_emb/dep_emb/kernel/bias/w1/b1/w2/b2; defaults to the frozen
+    deterministic weights + embedding tables."""
     spark = candidates.sparkSession
-    dep_emb, word_emb = embedding_tables(dep_vocab, word_vocab)
+    if params is None:
+        dep_emb, word_emb = embedding_tables(dep_vocab, word_vocab)
+        weights = lstm_weights(key_order)
+    else:
+        dep_emb, word_emb = params["dep_emb"], params["word_emb"]
+        weights = {k: params[k] for k in ("kernel", "bias", "w1", "b1",
+                                          "w2", "b2")}
     b = spark.sparkContext.broadcast({
         "dep_vocab": dep_vocab, "word_vocab": word_vocab,
         "dep_emb": dep_emb, "word_emb": word_emb,
-        "weights": lstm_weights(key_order), "key_order": key_order,
+        "weights": weights, "key_order": key_order,
     })
     n_rel = len(key_order)
 

@@ -70,6 +70,30 @@ def build_weight_table(vocabs: dict[str, set], key_order: list[str]):
     return idx, w, bias_vec
 
 
+def ff_layers(weight_table):
+    """Normalize a weight table to the general feed-forward layer stack of
+    ``tf_feed_forward.py:32-63``: ``[(W1, b1), ..., (Wout, bout)]`` with
+    ReLU between layers (dropout is identity at test keep_prob=1).  The
+    legacy ``(idx, W, bias)`` triple is the shipped ``hidden_array=[]``
+    config — a single output layer, i.e. multi-label logistic."""
+    if len(weight_table) == 3:
+        idx, w_mat, bias_vec = weight_table
+        return idx, [(w_mat, bias_vec)]
+    idx, layers = weight_table
+    return idx, list(layers)
+
+
+def ff_forward_from_z1(z1, layers):
+    """Forward pass given the FIRST layer's pre-activation (the multi-hot
+    input times W1 is a scatter-sum of W1 rows — computed upstream).
+    Hidden layers apply ReLU (tf_feed_forward.py:54); the output layer is
+    linear logits."""
+    h = z1
+    for w, b in layers[1:]:
+        h = np.maximum(h, 0.0) @ w + b
+    return h
+
+
 def score_candidates(
     candidates: DataFrame,
     vocabs: dict[str, set],
@@ -81,22 +105,23 @@ def score_candidates(
 ) -> DataFrame:
     """candidates -> scored triples (one row per instance x relation).
 
-    ``weight_table``: optional (idx, W, bias) from an offline training run
-    (kgre/train.py, M2); defaults to the frozen deterministic model.
+    ``weight_table``: optional weights from an offline training run
+    (kgre/train.py, M2) — either the legacy logistic ``(idx, W, bias)``
+    or the general ``(idx, [(W1,b1),...,(Wout,bout)])`` hidden stack
+    (tf_feed_forward.py:32-63); defaults to the frozen deterministic
+    logistic model.
     ``with_sentence``: carry (sent_text, start_tok, end_tok) through the
     scorer for the S14 rich predict sink (relation_extraction.py:70-80,
     :548-562); off for the TEST path so the hot Arrow boundary never moves
     sentence strings."""
     spark = candidates.sparkSession
     if weight_table is None:
-        idx, w_mat, bias_vec = build_weight_table(vocabs, key_order)
-    else:
-        idx, w_mat, bias_vec = weight_table
+        weight_table = build_weight_table(vocabs, key_order)
+    idx, layers = ff_layers(weight_table)
     b_state = spark.sparkContext.broadcast(
         {
             "idx": idx,
-            "W": w_mat,
-            "bias": bias_vec,
+            "layers": layers,
             "key_order": key_order,
             "fwd": fwd_kb,
             "rev": rev_kb,
@@ -106,7 +131,8 @@ def score_candidates(
 
     def run(batches):
         st = b_state.value
-        W, bias_v = st["W"], st["bias"]
+        layers_l = st["layers"]
+        W, bias_v = layers_l[0]
         idx_path = st["idx"]["dep_path"]
         idx_word = st["idx"]["dep_word"]
         idx_elem = st["idx"]["element"]
@@ -156,7 +182,8 @@ def score_candidates(
                             labels[r, k] = 1
             if hit_rows:
                 np.add.at(z, np.asarray(hit_rows), W[np.asarray(hit_feats)])
-            probs = 1.0 / (1.0 + np.exp(-z))
+            logits = ff_forward_from_z1(z, layers_l)
+            probs = 1.0 / (1.0 + np.exp(-np.clip(logits, -60, 60)))
             cols = {
                 "url": np.repeat(pdf["url"].to_numpy(), n_rel),
                 "sent_id": np.repeat(pdf["sent_id"].to_numpy(), n_rel),

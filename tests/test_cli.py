@@ -104,3 +104,12 @@ def test_load_id_list(tmp_path):
     p.write_text("G00001\tname1\nG00002\tx\n\nG00003\ty\n")
     assert kb.load_id_list(str(p)) == {"G00001", "G00002", "G00003"}
     assert kb.load_id_list(str(p), column=1) == {"name1", "x", "y"}
+
+
+def test_cli_train_lstm(spark, tmp_path, monkeypatch):
+    out = str(tmp_path / "tl")
+    _run(spark, monkeypatch, "train-lstm", out, extra=("--epochs", "2"))
+    w = spark.read.parquet(out + "/lstm_weights")
+    # output layer keyed by relation string, embeddings by feature string
+    assert w.filter("layer = 'w2'").select("key").distinct().count() == 3
+    assert w.filter("layer = 'word_emb'").count() > 0

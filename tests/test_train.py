@@ -64,3 +64,169 @@ def test_weight_table_roundtrip(spark):
                                           weight_table=(idx2, w2, b2))).count()
     assert a == b_
     cands.unpersist()
+
+
+def test_hash_range_sample_no_full_table_ranking(spark):
+    cands, _, _, _, _ = _setup(spark, n_pages=80)
+    total = cands.count()
+    # under the cap: returned unchanged, no Sort/TakeOrdered in the plan
+    full = train.hash_range_sample(cands, total + 10)
+    assert "Sort" not in full._jdf.queryExecution().executedPlan().toString()
+    # over the cap: deterministic, exactly `sample` rows, and the top-k
+    # input is the hash-FILTERED subset (pmod filter precedes it)
+    sample = max(10, total // 3)
+    a = train.hash_range_sample(cands, sample)
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "pmod" in plan and "xxhash64" in plan
+    key = ["url", "sent_id", "pair_idx", "is_reverse"]
+    sa = {tuple(r) for r in a.select(*key).collect()}
+    sb = {tuple(r) for r in
+          train.hash_range_sample(cands, sample).select(*key).collect()}
+    assert sa == sb and len(sa) == sample
+    cands.unpersist()
+
+
+def test_ff_hidden_layers_train_and_score(spark):
+    """General FF stack (tf_feed_forward.py:32-63): training reduces loss;
+    Spark scoring through the hidden stack equals a direct numpy forward."""
+    from kgre.score import ff_forward_from_z1
+
+    cands, vocabs, key_order, fwd, rev = _setup(spark, n_pages=80)
+    wt, losses = train.train_model(cands, vocabs, key_order, fwd, rev,
+                                   epochs=25, hidden_array=[32])
+    assert losses[-1] < losses[0] * 0.8
+    idx, layers = wt
+    assert len(layers) == 2 and layers[0][0].shape[1] == 32
+    scored = score_candidates(cands, vocabs, key_order, fwd, rev,
+                              weight_table=wt)
+    rows = scored.filter("rel = '%s'" % key_order[0]) \
+        .select("url", "sent_id", "pair_idx", "is_reverse", "prob").collect()
+    # recompute a few rows by hand from the candidates table
+    cand_rows = {(r["url"], r["sent_id"], r["pair_idx"], r["is_reverse"]): r
+                 for r in cands.collect()}
+    checked = 0
+    for r in rows[:25]:
+        c = cand_rows[(r["url"], r["sent_id"], r["pair_idx"], r["is_reverse"])]
+        z = layers[0][1].copy()
+        hit = set()
+        i0 = idx["dep_path"].get(c["dep_path_string"])
+        if i0 is not None:
+            hit.add(i0)
+        for kind, col in (("dep_word", "sdp_words"), ("element", "sdp_elements"),
+                          ("between", "between_words")):
+            for f in set(c[col]):
+                j = idx[kind].get(f)
+                if j is not None:
+                    hit.add(j)
+        for i in hit:
+            z += layers[0][0][i]
+        logits = ff_forward_from_z1(z[None, :], layers)[0]
+        p = 1.0 / (1.0 + np.exp(-logits[0]))
+        assert abs(p - r["prob"]) < 1e-9
+        checked += 1
+    assert checked > 0
+    # persistence roundtrip preserves scores exactly
+    df = train.ff_weights_to_df(spark, wt, key_order)
+    idx2, layers2 = train.ff_weights_from_df(df, vocabs, key_order)
+    for (w, b), (w2, b2) in zip(layers, layers2):
+        np.testing.assert_allclose(w2, w, atol=1e-12)
+        np.testing.assert_allclose(b2, b, atol=1e-12)
+    cands.unpersist()
+
+
+def test_fit_ff_empty_hidden_matches_logistic_shape():
+    # hidden_array=[] degenerates to the logistic layout
+    hits = [[0], [1], [0, 2], []]
+    y = np.array([[1.0], [0.0], [1.0], [0.0]])
+    layers, losses = train.fit_ff(hits, y, n_feat=3, hidden_array=[],
+                                  epochs=30, batch=2)
+    assert len(layers) == 1 and layers[0][0].shape == (3, 1)
+    assert losses[-1] < losses[0]
+
+
+# ------------------------------------------------------------- LSTM training
+
+
+def _lstm_setup(spark, n_pages=60):
+    from kgre import lstm
+
+    cands, _, key_order, fwd, rev = _setup(spark, n_pages)
+    types = [r["f"] for r in
+             cands.selectExpr("explode(sdp_types) f").distinct().collect()]
+    words = [r["f"] for r in
+             cands.selectExpr("explode(sdp_words) f").distinct().collect()]
+    dep_vocab, word_vocab = lstm.lstm_vocabs(types, words)
+    return cands, dep_vocab, word_vocab, key_order, fwd, rev
+
+
+def test_lstm_gradients_match_finite_differences(spark):
+    """BPTT correctness: analytic grads vs central differences on a tiny
+    batch (no dropout), across every parameter tensor."""
+    from kgre import lstm_train
+
+    cands, dep_vocab, word_vocab, key_order, fwd, rev = _lstm_setup(
+        spark, n_pages=20)
+    t_ids, w_ids, lens, y = lstm_train.collect_lstm_training_set(
+        cands, dep_vocab, word_vocab, key_order, fwd, rev, sample=3)
+    assert len(lens) > 0 and lens.max() > 2
+    params = lstm_train.init_lstm_params(dep_vocab, word_vocab, key_order,
+                                         seed=3)
+    loss, grads = lstm_train.lstm_loss_and_grads(params, t_ids, w_ids,
+                                                 lens, y)
+    rng = np.random.RandomState(0)
+    eps = 1e-6
+    for name in lstm_train._PARAM_ORDER:
+        flat = params[name].ravel()
+        gflat = grads[name].ravel()
+        # probe positions that actually participate (nonzero grad) plus one
+        idxs = np.argsort(-np.abs(gflat))[:3]
+        for i in idxs:
+            old = flat[i]
+            flat[i] = old + eps
+            lp, _ = lstm_train.lstm_loss_and_grads(params, t_ids, w_ids,
+                                                   lens, y)
+            flat[i] = old - eps
+            lm, _ = lstm_train.lstm_loss_and_grads(params, t_ids, w_ids,
+                                                   lens, y)
+            flat[i] = old
+            num = (lp - lm) / (2 * eps)
+            assert abs(num - gflat[i]) < 1e-5 * max(1.0, abs(num)), (
+                name, i, num, gflat[i])
+    cands.unpersist()
+
+
+def test_lstm_training_reduces_loss_and_weights_roundtrip(spark):
+    from kgre import lstm, lstm_train
+
+    cands, dep_vocab, word_vocab, key_order, fwd, rev = _lstm_setup(spark)
+    t_ids, w_ids, lens, y = lstm_train.collect_lstm_training_set(
+        cands, dep_vocab, word_vocab, key_order, fwd, rev, sample=200)
+    params, losses = lstm_train.fit_lstm(
+        t_ids, w_ids, lens, y, dep_vocab, word_vocab, key_order,
+        epochs=8, batch=32)
+    assert losses[-1] < losses[0], losses
+    # roundtrip through the string-keyed weights table
+    df = lstm_train.lstm_weights_to_df(spark, params, dep_vocab, word_vocab,
+                                       key_order)
+    params2 = lstm_train.lstm_weights_from_df(df, dep_vocab, word_vocab,
+                                              key_order)
+    for k in lstm_train._PARAM_ORDER:
+        np.testing.assert_allclose(params2[k], params[k], atol=1e-12)
+    # trained weights drop into the Spark scorer and match a direct
+    # numpy forward on the same instances
+    scored = lstm.score_candidates_lstm(cands, dep_vocab, word_vocab,
+                                        key_order, params=params2)
+    row = scored.filter("rel = '%s'" % key_order[0]).first()
+    c = [r for r in cands.collect()
+         if (r["url"], r["sent_id"], r["pair_idx"], r["is_reverse"])
+         == (row["url"], row["sent_id"], row["pair_idx"], row["is_reverse"])][0]
+    ti, wi, lt, lw = lstm.encode_instance(list(c["sdp_types"]),
+                                          list(c["sdp_words"]),
+                                          dep_vocab, word_vocab)
+    seq = np.zeros((1, lstm.SEQ, lstm.STATE))
+    seq[0, 0::2, :lstm.WORD_DIM] = params["word_emb"][np.array(wi)]
+    seq[0, 1::2, lstm.WORD_DIM:] = params["dep_emb"][np.array(ti)]
+    h = lstm.lstm_forward_batch(seq, np.array([lt + lw]), params)
+    probs = 1.0 / (1.0 + np.exp(-lstm.lstm_logits(h, params)))
+    assert abs(probs[0, 0] - row["prob"]) < 1e-9
+    cands.unpersist()
