@@ -295,6 +295,15 @@ def _q_dedup_exact(spark, sf_dir):
 
 
 def _q_ngram_jaccard(spark, sf_dir):
+    """Production shape: MinHash-LSH candidate blocking over unigram
+    shingles, exact Jaccard verified only within buckets (the skewed
+    shingle self-join is q_ngram_jaccard_exact, the verify baseline)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 120)
+    return dedup.minhash_near_dups(docs, threshold=0.6, n_hashes=8,
+                                   bands=4, shingle_n=1)
+
+
+def _q_ngram_jaccard_exact(spark, sf_dir):
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 120)
     return dedup.jaccard_pairs(docs, n=1, threshold=0.6)
 
@@ -315,6 +324,15 @@ def _q_ann_cosine_topk(spark, sf_dir):
 
 
 def _q_cosine_neardup(spark, sf_dir):
+    """Production shape: banded hyperplane blocking, exact cosine verified
+    within buckets (no cartesian join; the all-pairs exact variant is
+    q_cosine_neardup_exact, the verify baseline)."""
+    return similarity.cosine_neardup_bucketed(_embs(spark, sf_dir),
+                                              threshold=0.30, n_planes=8,
+                                              bands=4, max_id=150)
+
+
+def _q_cosine_neardup_exact(spark, sf_dir):
     return similarity.cosine_neardup_pairs(_embs(spark, sf_dir),
                                            threshold=0.30, max_id=150)
 
@@ -466,11 +484,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup suite
         "q_dedup_exact": _q_dedup_exact,
         "q_ngram_jaccard": _q_ngram_jaccard,
+        "q_ngram_jaccard_exact": _q_ngram_jaccard_exact,
         "q_minhash_lsh": _q_minhash_lsh,
         "q_simhash_neardups": _q_simhash_neardups,
         # similarity suite
         "q_ann_cosine_topk": _q_ann_cosine_topk,
         "q_cosine_neardup": _q_cosine_neardup,
+        "q_cosine_neardup_exact": _q_cosine_neardup_exact,
         "q_ann_lsh_topk": _q_ann_lsh_topk,
         # text analysis
         "q_token_count": _q_token_count,
@@ -715,6 +735,43 @@ def oracle_sql() -> dict[str, str]:
             FROM f GROUP BY fp HAVING count(*) > 1
         """,
         "q_ngram_jaccard": """
+            WITH sh AS (SELECT DISTINCT doc_id,
+                               unnest(string_split(text, ' ')) AS shingle
+                        FROM documents WHERE doc_id < 120),
+            sig AS (SELECT doc_id,
+                           min(md5(shingle || '#0')) AS h0,
+                           min(md5(shingle || '#1')) AS h1,
+                           min(md5(shingle || '#2')) AS h2,
+                           min(md5(shingle || '#3')) AS h3,
+                           min(md5(shingle || '#4')) AS h4,
+                           min(md5(shingle || '#5')) AS h5,
+                           min(md5(shingle || '#6')) AS h6,
+                           min(md5(shingle || '#7')) AS h7
+                    FROM sh GROUP BY doc_id),
+            banded AS (
+              SELECT doc_id, 0 AS band, h0 || '|' || h1 AS bkey FROM sig
+              UNION ALL
+              SELECT doc_id, 1, h2 || '|' || h3 FROM sig
+              UNION ALL
+              SELECT doc_id, 2, h4 || '|' || h5 FROM sig
+              UNION ALL
+              SELECT doc_id, 3, h6 || '|' || h7 FROM sig),
+            cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                     FROM banded a JOIN banded b
+                       ON a.band = b.band AND a.bkey = b.bkey
+                      AND a.doc_id < b.doc_id),
+            sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+            i AS (SELECT c.d1, c.d2, count(*) AS inter
+                  FROM cand c
+                  JOIN sh a ON a.doc_id = c.d1
+                  JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+                  GROUP BY 1, 2)
+            SELECT d1, d2,
+                   round(inter * 1.0 / (s1.s + s2.s - inter), 4) AS jaccard
+            FROM i JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+            WHERE round(inter * 1.0 / (s1.s + s2.s - inter), 4) >= 0.6
+        """,
+        "q_ngram_jaccard_exact": """
             WITH d AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' '))
                          AS shingle
                        FROM documents WHERE doc_id < 120),
@@ -810,6 +867,39 @@ def oracle_sql() -> dict[str, str]:
             FROM s ORDER BY sim DESC, vec_id LIMIT 10
         """,
         "q_cosine_neardup": """
+            WITH pl AS (
+              SELECT p, d,
+                     (('0x' || substring(md5('hp|' || p || '|' || d), 1, 12))
+                        ::BIGINT / 281474976710656.0) * 2.0 - 1.0 AS w
+              FROM (SELECT unnest(range(0, 8)) AS p),
+                   (SELECT unnest(range(0, 64)) AS d)),
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+                  FROM embeddings WHERE vec_id <= 150),
+            proj AS (SELECT e.vec_id, pl.p,
+                            sum(e.emb[pl.d + 1] * pl.w) AS s
+                     FROM e, pl GROUP BY e.vec_id, pl.p),
+            bk AS (SELECT vec_id,
+                          sum(CASE WHEN s > 0 THEN (1 << p) ELSE 0 END)
+                            AS bucket
+                   FROM proj GROUP BY vec_id),
+            banded AS (SELECT vec_id, b AS band,
+                              (bucket >> (2 * b)) & 3 AS key
+                       FROM bk, (SELECT unnest(range(0, 4)) AS b)),
+            cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+                     FROM banded a JOIN banded b
+                       ON a.band = b.band AND a.key = b.key
+                      AND a.vec_id < b.vec_id),
+            p2 AS (SELECT c.v1, c.v2,
+                          round(list_dot_product(ea.emb, eb.emb)
+                                / (sqrt(list_dot_product(ea.emb, ea.emb))
+                                   * sqrt(list_dot_product(eb.emb, eb.emb))),
+                                4) AS cos_sim
+                   FROM cand c
+                   JOIN e ea ON ea.vec_id = c.v1
+                   JOIN e eb ON eb.vec_id = c.v2)
+            SELECT v1, v2, cos_sim FROM p2 WHERE cos_sim >= 0.30
+        """,
+        "q_cosine_neardup_exact": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
                        FROM embeddings WHERE vec_id <= 150),
             p AS (SELECT a.vec_id AS v1, b.vec_id AS v2,

@@ -57,14 +57,22 @@ def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def jaccard_pairs(docs: DataFrame, n: int = 1, threshold: float = 0.6) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via inverted-index self-join."""
+def shingles(docs: DataFrame, n: int) -> DataFrame:
+    """Distinct n-word shingles; unigrams skip the window machinery."""
     if n == 1:
-        sh = docs.select(
+        return docs.select(
             "doc_id", F.explode(F.split("text", " ")).alias("shingle")
         ).distinct()
-    else:
-        sh = word_shingles(docs, n)
+    return word_shingles(docs, n)
+
+
+def jaccard_pairs(docs: DataFrame, n: int = 1, threshold: float = 0.6) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
+
+    TEST/VERIFY baseline only: the join key is the shingle, so hot
+    shingles blow up the self-join at corpus scale — the production path
+    is minhash_near_dups (LSH candidates, within-bucket verify)."""
+    sh = shingles(docs, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -95,7 +103,7 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 8,
                        shingle_n: int = 3) -> DataFrame:
     """(doc_id, sig array<string>): per seed, the lexicographic min of
     md5(shingle || '#' || seed) — engine-portable MinHash."""
-    sh = word_shingles(docs, shingle_n)
+    sh = shingles(docs, shingle_n)
     mins = [
         F.min(F.md5(F.concat_ws("#", "shingle", F.lit(str(i))))).alias("h%d" % i)
         for i in range(n_hashes)
@@ -140,7 +148,7 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.6,
     """LSH candidates verified with true shingle Jaccard (computed only
     within buckets — the scale path)."""
     cands = lsh_candidate_pairs(docs, n_hashes, bands, shingle_n)
-    sh = word_shingles(docs, shingle_n)
+    sh = shingles(docs, shingle_n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("ad"), F.col("shingle").alias("ash"))
     b = sh.select(F.col("doc_id").alias("bd"), F.col("shingle").alias("bsh"))

@@ -82,3 +82,33 @@ def test_vocab_is_single_scan(spark):
     nodes = set(re.findall(r"\((\d+)\) MapInPandas", plan))
     assert len(nodes) == 2, plan
     assert "Union" not in plan
+
+def test_neardup_production_paths_have_no_cartesian(spark):
+    """VERDICT r1 item 6: the near-dup queries the driver exercises must
+    not plan a cartesian product / BroadcastNestedLoopJoin — candidates
+    come from equi-joins on bucket keys."""
+    from kgre import dedup, similarity
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    for df in (
+        similarity.cosine_neardup_bucketed(embs, threshold=0.30,
+                                           n_planes=8, bands=4, max_id=150),
+        dedup.minhash_near_dups(docs, threshold=0.6, n_hashes=8, bands=4,
+                                shingle_n=1),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bucketed_neardup_recall_vs_exact(spark):
+    """Banded hyperplane blocking is a subset of the exact pairs with
+    usable recall at the tested threshold (OR-of-bands)."""
+    from kgre import similarity
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = {(r["v1"], r["v2"]) for r in similarity.cosine_neardup_pairs(
+        embs, threshold=0.30, max_id=150).collect()}
+    lsh = {(r["v1"], r["v2"]) for r in similarity.cosine_neardup_bucketed(
+        embs, threshold=0.30, n_planes=8, bands=4, max_id=150).collect()}
+    assert lsh <= exact
+    assert len(lsh) >= 0.6 * len(exact), (len(lsh), len(exact))
