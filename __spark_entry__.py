@@ -46,6 +46,7 @@ _CC_TRIPLES = [(s, "rel%d" % (i % 3), d) for i, (s, d) in enumerate(_CC_EDGES)]
 _CC_TRIPLES_SQL = ", ".join("('%s','%s','%s')" % t for t in _CC_TRIPLES)
 
 _EN_STOP_SQL = "[" + ", ".join("'%s'" % w for w in textstats.EN_STOPWORDS) + "]"
+_PUNCT_SQL = textstats.PUNCT.replace("'", "''")
 
 # Materialized pyoracle goldens (tools/make_goldens.py) for the four
 # non-SQL-expressible KG queries; the driver's correctness sf is 0.01
@@ -86,7 +87,7 @@ def entry(spark: SparkSession) -> DataFrame:
     pages = webtext.pages_from_documents(docs)
     pipe = KgPipeline(spark, occur_count=2)
     scored, _, _ = pipe.run(pages, synthgen.kb_rows(), synthgen.ontology_rows(),
-                            synthgen.stop_entity_ids())
+                            synthgen.stop_entity_ids(), emit_threshold=0.5)
     return emitted_triples(scored)
 
 
@@ -98,7 +99,7 @@ def _q_kg_flagship(spark, sf_dir):
     pages = webtext.pages_from_documents(docs)
     pipe = KgPipeline(spark, occur_count=2)
     scored, _, _ = pipe.run(pages, synthgen.kb_rows(), synthgen.ontology_rows(),
-                            synthgen.stop_entity_ids())
+                            synthgen.stop_entity_ids(), emit_threshold=0.5)
     return emitted_triples(scored).select("url", "subj", "obj", "rel",
                                           "label", F.round("prob", 6).alias("prob"))
 
@@ -382,7 +383,7 @@ def _q_triple_parity(spark, sf_dir):
     pipe = KgPipeline(spark, occur_count=2)
     scored, _, _ = pipe.run(pages_df, synthgen.kb_rows(),
                             synthgen.ontology_rows(),
-                            synthgen.stop_entity_ids())
+                            synthgen.stop_entity_ids(), emit_threshold=0.5)
     key = ["url", "subj", "obj", "rel", "prob_r9"]
     s = (emitted_triples(scored)
          .select("url", "subj", "obj", "rel",
@@ -974,10 +975,9 @@ def oracle_sql() -> dict[str, str]:
                      AS lang_pred
             FROM b
         """,
-        "q_fingerprint": """
+        "q_fingerprint": f"""
             SELECT doc_id,
-                   md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
-                     AS fp
+                   md5(translate(lower(text), '{_PUNCT_SQL}', '')) AS fp
             FROM documents
         """,
         "q_frame_sample": """

@@ -101,14 +101,15 @@ def mode_score(spark, args):
             args.out + "/candidates", args.out + "/manifest",
             n_buckets=args.buckets)
         vocabs = collect_vocab_sets(build_vocab(cands, args.occur_count))
-        scored = score_candidates(cands, vocabs, key_order, fwd, rev)
+        scored = score_candidates(cands, vocabs, key_order, fwd, rev,
+                                  emit_threshold=0.5)
     else:
         scored, vocab_df, key_order = pipe.run(
             pages, synthgen.kb_rows(), synthgen.ontology_rows(),
             synthgen.stop_entity_ids(),
             checkpoint_dir=(args.out + "/candidates") if args.checkpoint
             else None,
-            allow1=a1, allow2=a2)
+            allow1=a1, allow2=a2, emit_threshold=0.5)
     write_triples(emitted_triples(scored), args.out + "/triples")
     n = spark.read.parquet(args.out + "/triples").count()
     print("SCORE ok: emitted=%d rels=%d" % (n, len(key_order)))

@@ -27,10 +27,13 @@ from pyspark.sql import functions as F
 
 
 def exact_dup_groups(docs: DataFrame) -> DataFrame:
-    """Content-hash groups with >1 member: (fp, n_docs, min_doc_id)."""
-    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "")
+    """Content-hash groups with >1 member: (fp, n_docs, min_doc_id).
+    Normalization shares textstats.normalized_text (translate, not a
+    regex scan — this runs over the full corpus)."""
+    from kgre.textstats import normalized_text
+
     return (
-        docs.select("doc_id", F.md5(norm).alias("fp"))
+        docs.select("doc_id", F.md5(normalized_text()).alias("fp"))
         .groupBy("fp")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
         .filter(F.col("n_docs") > 1)

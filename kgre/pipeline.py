@@ -128,8 +128,12 @@ class KgPipeline:
     def run(self, pages: DataFrame, kb_rows_list, onto_rows, stop_ids,
             checkpoint_dir: str | None = None,
             repartition: int | None = None,
-            allow1=None, allow2=None, with_sentence: bool = False):
-        """pages -> (scored triples DF, vocab DF, key_order)."""
+            allow1=None, allow2=None, with_sentence: bool = False,
+            emit_threshold: float | None = None):
+        """pages -> (scored triples DF, vocab DF, key_order).
+
+        ``emit_threshold=0.5`` pushes the emitted-triple gate into the
+        scoring UDF (TEST mode); leave None to keep every row (predict)."""
         fwd, rev, key_order = self.prepare_kb(kb_rows_list, onto_rows)
         if repartition:
             pages = pages.repartition(repartition, "url")
@@ -148,7 +152,8 @@ class KgPipeline:
         vocab_df = build_vocab(cands, self.occur_count)
         vocabs = collect_vocab_sets(vocab_df)
         scored = score_candidates(cands, vocabs, key_order, fwd, rev,
-                                  with_sentence=with_sentence)
+                                  with_sentence=with_sentence,
+                                  emit_threshold=emit_threshold)
         return scored, vocab_df, key_order
 
 

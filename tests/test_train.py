@@ -230,3 +230,19 @@ def test_lstm_training_reduces_loss_and_weights_roundtrip(spark):
     probs = 1.0 / (1.0 + np.exp(-lstm.lstm_logits(h, params)))
     assert abs(probs[0, 0] - row["prob"]) < 1e-9
     cands.unpersist()
+
+
+def test_emit_threshold_inside_udf_matches_post_filter(spark):
+    """The in-UDF emitted-triple gate must produce exactly the rows that
+    post-filtering the full score output produces (prob strictly > 0.5)."""
+    cands, vocabs, key_order, fwd, rev = _setup(spark, n_pages=60)
+    key = ["url", "sent_id", "pair_idx", "is_reverse", "rel", "label",
+           "prob"]
+    full = emitted_triples(score_candidates(
+        cands, vocabs, key_order, fwd, rev)).select(*key)
+    gated = score_candidates(cands, vocabs, key_order, fwd, rev,
+                             emit_threshold=0.5).select(*key)
+    a = {tuple(r) for r in full.collect()}
+    b = {tuple(r) for r in gated.collect()}
+    assert a == b and a
+    cands.unpersist()
