@@ -25,6 +25,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# local-mode bench: the one driver JVM hosts all executor threads, so its
+# heap is the cluster memory — size it like one (measured in r1: an 8g
+# heap degrades a 5M-page run 1.75x vs 48g via GC pressure).  Library
+# default stays 8g; only the bench opts into the big heap.
+os.environ.setdefault("KGRE_DRIVER_MEM", "32g")
+
 import __spark_entry__ as entry_mod  # noqa: E402
 from kgre.session import get_spark  # noqa: E402
 

@@ -63,16 +63,17 @@ def run_stage_with_resume(
                 continue
             t0 = time.time()
             part = bucketed.filter(F.col("bucket") == b).drop("bucket")
-            rows_in = part.count()
-            # order-independent content fingerprint (bit_xor never overflows,
-            # unlike sum under ANSI mode)
-            fingerprint = (
-                part.select(F.xxhash64(key).alias("h"))
-                .agg(F.expr("bit_xor(h)").alias("s")).collect()[0]["s"]
-                or 0
-            )
+            # ONE aggregation job over the persisted scan yields both the
+            # row count and the order-independent content fingerprint
+            # (bit_xor never overflows, unlike sum under ANSI mode)
+            stats_row = part.select(F.xxhash64(key).alias("h")).agg(
+                F.count("*").alias("n"),
+                F.expr("bit_xor(h)").alias("s")).collect()[0]
+            rows_in = stats_row["n"]
+            fingerprint = stats_row["s"] or 0
             out = transform(part)
             out.write.mode("overwrite").parquet(f"{out_dir}/bucket={b}")
+            # parquet count() is footer-metadata-only — no data decode
             rows_out = spark.read.parquet(f"{out_dir}/bucket={b}").count()
             wall_ms = int((time.time() - t0) * 1000)
             spark.createDataFrame(

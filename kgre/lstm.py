@@ -129,7 +129,7 @@ def lstm_forward_batch(seq, seq_len, weights):
     c = np.zeros((n, STATE))
     h = np.zeros((n, STATE))
     max_t = int(seq_len.max()) if n else 0
-    for t in range(min(max_t, SEQ)):
+    for t in range(min(max_t, seq.shape[1])):
         active = (seq_len > t)[:, None]
         z = np.concatenate([seq[:, t, :], h], axis=1) @ kernel + bias
         i = _sigmoid(z[:, 0:STATE])
@@ -175,6 +175,14 @@ def score_candidates_lstm(candidates: DataFrame, dep_vocab, word_vocab,
     })
     n_rel = len(key_order)
 
+    # the seq tensor is the memory hot spot: a full Arrow batch padded to
+    # SEQ=200 steps is ~1.6 GB at 4096 rows x 200 x 250 float64, PER
+    # python worker.  Process fixed-size row chunks and size the buffer
+    # to the chunk's true max step count (SDP sequences are almost always
+    # far shorter than the 100-token pad) — peak drops to
+    # CHUNK x 2*ceil(max_len/2) x 250.
+    CHUNK = 256
+
     def run(batches):
         st = b.value
         dv, wv = st["dep_vocab"], st["word_vocab"]
@@ -184,36 +192,48 @@ def score_candidates_lstm(candidates: DataFrame, dep_vocab, word_vocab,
             n = len(pdf)
             if n == 0:
                 continue
-            t_ids = np.empty((n, PAD_LEN), dtype=np.int64)
-            w_ids = np.empty((n, PAD_LEN), dtype=np.int64)
-            lens = np.empty(n, dtype=np.int64)
-            for r, (types, words) in enumerate(zip(pdf["sdp_types"],
-                                                   pdf["sdp_words"])):
-                ti, wi, lt, lw = encode_instance(list(types), list(words),
-                                                 dv, wv)
-                t_ids[r], w_ids[r] = ti, wi
-                lens[r] = lt + lw
-            # word steps: [emb | 0]; dep steps: [0 | emb]; interleaved
-            seq = np.zeros((n, SEQ, STATE))
-            seq[:, 0::2, :WORD_DIM] = we[w_ids]
-            seq[:, 1::2, WORD_DIM:] = de[t_ids]
-            h = lstm_forward_batch(seq, lens, weights)
-            probs = _sigmoid(lstm_logits(h, weights))
-            out = pd.DataFrame({
-                "url": np.repeat(pdf["url"].to_numpy(), n_rel),
-                "sent_id": np.repeat(pdf["sent_id"].to_numpy(), n_rel),
-                "pair_idx": np.repeat(pdf["pair_idx"].to_numpy(), n_rel),
-                "is_reverse": np.repeat(pdf["is_reverse"].to_numpy(), n_rel),
-                "subj": np.repeat(pdf["subj"].to_numpy(), n_rel),
-                "obj": np.repeat(pdf["obj"].to_numpy(), n_rel),
-                "rel": np.tile(np.array(keys, dtype=object), n),
-                "prob": probs.ravel(),
-            })
-            yield out
+            for lo in range(0, n, CHUNK):
+                part = pdf.iloc[lo:lo + CHUNK]
+                k = len(part)
+                t_ids = np.empty((k, PAD_LEN), dtype=np.int64)
+                w_ids = np.empty((k, PAD_LEN), dtype=np.int64)
+                lens = np.empty(k, dtype=np.int64)
+                for r, (types, words) in enumerate(zip(part["sdp_types"],
+                                                       part["sdp_words"])):
+                    ti, wi, lt, lw = encode_instance(list(types),
+                                                     list(words), dv, wv)
+                    t_ids[r], w_ids[r] = ti, wi
+                    lens[r] = lt + lw
+                # word steps: [emb | 0]; dep steps: [0 | emb]; interleaved;
+                # buffer covers only the chunk's effective window (rounded
+                # up to a whole word/dep step pair)
+                half = min(PAD_LEN, (int(lens.max()) + 1) // 2) if k else 0
+                seq = np.zeros((k, 2 * half, STATE))
+                seq[:, 0::2, :WORD_DIM] = we[w_ids[:, :half]]
+                seq[:, 1::2, WORD_DIM:] = de[t_ids[:, :half]]
+                h = lstm_forward_batch(seq, lens, weights)
+                probs = _sigmoid(lstm_logits(h, weights))
+                out = pd.DataFrame({
+                    "url": np.repeat(part["url"].to_numpy(), n_rel),
+                    "sent_id": np.repeat(part["sent_id"].to_numpy(), n_rel),
+                    "pair_idx": np.repeat(part["pair_idx"].to_numpy(), n_rel),
+                    "is_reverse": np.repeat(part["is_reverse"].to_numpy(),
+                                            n_rel),
+                    "subj": np.repeat(part["subj"].to_numpy(), n_rel),
+                    "obj": np.repeat(part["obj"].to_numpy(), n_rel),
+                    "rel": np.tile(np.array(keys, dtype=object), k),
+                    "prob": probs.ravel(),
+                })
+                yield out
 
     from pyspark.sql import functions as F
+    # explicit projection: mapInPandas ships every input column through
+    # Arrow — keep sentence text and unused feature columns off the
+    # boundary
     scorable = candidates.filter(
-        (~F.col("is_reverse")) | F.col("gene_to_gene"))
+        (~F.col("is_reverse")) | F.col("gene_to_gene")
+    ).select("url", "sent_id", "pair_idx", "is_reverse", "subj", "obj",
+             "sdp_types", "sdp_words")
     return scorable.mapInPandas(run, schema=LSTM_TRIPLES_SCHEMA)
 
 

@@ -30,10 +30,13 @@ def get_spark(app: str = "kgre", master: str | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.session.timeZone", "UTC")
-        # local mode: the driver JVM hosts all executor threads, so its
-        # heap IS the cluster memory — size it like one (measured: an 8g
-        # heap degrades a 5M-page run 1.75x vs 48g through GC pressure)
-        .config("spark.driver.memory", os.environ.get("KGRE_DRIVER_MEM", "32g"))
+        # Library default stays conservative (8g) so get_spark never
+        # over-commits a small host.  In local-mode BENCHMARKS the driver
+        # JVM hosts all executor threads and its heap IS the cluster
+        # memory — bench.py sets KGRE_DRIVER_MEM=32g where the large heap
+        # was measured to matter (an 8g heap degrades a 5M-page run 1.75x
+        # through GC pressure; see BENCH/BASELINE.md).
+        .config("spark.driver.memory", os.environ.get("KGRE_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -13,11 +13,15 @@ continuously, so the engine exposes an incremental path:
        broadcast KB and a FROZEN vocab (exactly the reference's TEST mode:
        dictionaries are loaded from the pickle of a prior training pass,
        relation_extraction.py:185-187, never updated online)
-    -> append to the triples sink, partitioned by rel
+    -> IDEMPOTENT per-batch sink: each micro-batch overwrites its own
+       out_dir/batch=<batch_id> partition, so a crash between the sink
+       write and the streaming offset commit replays the batch into the
+       same directory instead of appending a duplicate — end-to-end
+       exactly-once (foreachBatch itself is only at-least-once; the
+       batch_id-keyed overwrite is what upgrades it).
 
-Checkpointing is Spark's streaming offset log (exactly-once per
-micro-batch into the parquet sink) layered on the same lineage-manifest
-model used by the batch path (kgre/lineage.py).
+Checkpointing is Spark's streaming offset log layered on the same
+lineage-manifest model used by the batch path (kgre/lineage.py).
 """
 
 from __future__ import annotations
@@ -38,6 +42,24 @@ def read_page_stream(spark: SparkSession, pages_dir: str,
     reader = (spark.readStream.schema(PAGES_SCHEMA)
               .option("maxFilesPerTrigger", max_files_per_trigger or 4))
     return reader.parquet(pages_dir)
+
+
+def batch_processor(out_dir: str, vocabs, key_order, fwd, rev):
+    """foreachBatch body: score a candidates micro-batch and OVERWRITE its
+    batch_id-keyed output partition.  Replaying the same batch_id (crash
+    after sink write, before offset commit) rewrites identical content
+    instead of appending duplicates — this is what makes the pipeline
+    exactly-once end-to-end (tests call this directly to simulate a
+    mid-batch replay)."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        scored = score_candidates(batch_df, vocabs, key_order, fwd, rev,
+                                  emit_threshold=0.5)
+        (emitted_triples(scored)
+         .write.mode("overwrite").partitionBy("rel")
+         .parquet(f"{out_dir}/batch={batch_id}"))
+
+    return process_batch
 
 
 def stream_triples(
@@ -67,12 +89,7 @@ def stream_triples(
     stream = read_page_stream(spark, pages_dir)
     cands = pages_to_candidates(stream, entity_a, entity_b, stop_ids,
                                 min_partitions=0)
-
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        scored = score_candidates(batch_df, vocabs, key_order, fwd, rev)
-        (emitted_triples(scored)
-         .write.mode("append").partitionBy("rel").parquet(out_dir))
-
+    process_batch = batch_processor(out_dir, vocabs, key_order, fwd, rev)
     writer = (cands.writeStream
               .foreachBatch(process_batch)
               .option("checkpointLocation", checkpoint_dir))

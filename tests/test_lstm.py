@@ -83,3 +83,48 @@ def test_lstm_stage_end_to_end(spark):
         k = (r["url"], r["sent_id"], r["pair_idx"], r["is_reverse"], r["rel"])
         assert again[k] == pytest.approx(r["prob"], abs=1e-12)
     cands.unpersist()
+
+
+def test_w2v_bin_roundtrip_and_tail_convention(tmp_path):
+    """S8 (tf_lstm.py:13-48): binary parse roundtrips a fixture .bin;
+    UNKNOWN/PADDING tail ids and the zeros-PADDING row match the
+    reference convention."""
+    import numpy as np
+
+    from kgre import w2v
+
+    words = ["alpha", "beta", "gamma"]
+    vectors = np.arange(12, dtype=np.float32).reshape(3, 4) / 7.0
+    p = str(tmp_path / "tiny.bin")
+    w2v.write_bin_vec(p, words, vectors)
+    got_words, got_vecs, w2i = w2v.load_bin_vec(p)
+    assert got_words == words + ["UNKNOWN_WORD", "PADDING_WORD"]
+    assert w2i == {"alpha": 0, "beta": 1, "gamma": 2,
+                   "UNKNOWN_WORD": 3, "PADDING_WORD": 4}
+    np.testing.assert_allclose(got_vecs[:3], vectors, rtol=1e-6)
+    assert (got_vecs[4] == 0).all()
+    assert 0.0 <= got_vecs[3].min() and got_vecs[3].max() < 1.0
+
+
+def test_w2v_embedding_tables_from_bin(tmp_path):
+    """M6: vocab words found in the .bin take pretrained rows, missing
+    words take UNKNOWN, PADDING stays zeros."""
+    import numpy as np
+
+    from kgre import lstm, w2v
+
+    dep_vocab, word_vocab = lstm.lstm_vocabs(["conj"], ["alpha", "zzz"])
+    n_words = len(word_vocab)
+    rng_vecs = np.random.RandomState(0).rand(2, lstm.WORD_DIM).astype(
+        np.float32)
+    p = str(tmp_path / "w.bin")
+    w2v.write_bin_vec(p, ["alpha", "other"], rng_vecs)
+    dep_emb, word_emb = w2v.embedding_tables_from_bin(
+        p, word_vocab, dep_vocab, lstm.DEP_DIM)
+    np.testing.assert_allclose(word_emb[word_vocab["alpha"]], rng_vecs[0],
+                               rtol=1e-6)
+    assert (word_emb[word_vocab["PADDING_WORD"]] == 0).all()
+    # 'zzz' missing from the bin -> UNKNOWN row
+    _, vecs, w2i = w2v.load_bin_vec(p)
+    np.testing.assert_allclose(word_emb[word_vocab["zzz"]],
+                               vecs[w2i["UNKNOWN_WORD"]], rtol=1e-12)

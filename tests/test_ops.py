@@ -240,3 +240,17 @@ def test_lineage_resume_skips_completed_buckets(spark, tmp_path):
     assert sum(r["rows_in"] for r in rows) == 100
     assert sum(r["rows_out"] for r in rows) == 100
     assert all(r["status"] == "ok" for r in rows)
+
+
+def test_connected_components_log_iterations_on_path_graph(spark):
+    """Pointer jumping: a 64-node chain must converge in O(log n) rounds
+    (plain neighbor-min needs 63) and label every node with the chain
+    head."""
+    from kgre import canon
+    edges = [("n%03d" % i, "n%03d" % (i + 1)) for i in range(63)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    stats = {}
+    got = {(r["node"], r["component"])
+           for r in canon.connected_components(df, stats=stats).collect()}
+    assert got == {("n%03d" % i, "n000") for i in range(64)}
+    assert stats["iterations"] <= 9, stats

@@ -67,3 +67,23 @@ def test_stream_resume_is_exactly_once(spark, tmp_path):
     first = _multiset(spark.read.parquet(out))
     assert sum(first.values()) == n
     assert max(first.values()) == 1, "restart duplicated micro-batch output"
+
+
+def test_mid_batch_replay_does_not_duplicate(spark, tmp_path):
+    """Crash-after-sink-write semantics: re-running the SAME batch_id
+    (what a foreachBatch replay does) must leave the sink unchanged."""
+    pages = synthgen.pages_df(spark, 30)
+    stop = synthgen.stop_entity_ids()
+    cands = pages_to_candidates(pages, "GENE", "ONTOLOGY", stop).persist()
+    vocabs = collect_vocab_sets(build_vocab(cands, 2))
+    closure = kbmod.ontology_closure_dict(synthgen.ontology_rows())
+    fwd, rev = kbmod.load_kb_sets(synthgen.kb_rows(), closure)
+    out = str(tmp_path / "out")
+    process = streaming.batch_processor(out, vocabs, sorted(fwd), fwd, rev)
+    process(cands, 7)
+    once = _multiset(spark.read.parquet(out))
+    process(cands, 7)   # replay of the same micro-batch
+    twice = _multiset(spark.read.parquet(out))
+    assert once == twice and once
+    assert max(twice.values()) == 1
+    cands.unpersist()
