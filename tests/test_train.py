@@ -246,3 +246,31 @@ def test_emit_threshold_inside_udf_matches_post_filter(spark):
     b = {tuple(r) for r in gated.collect()}
     assert a == b and a
     cands.unpersist()
+
+
+# ------------------------------------------------------- cross-validation
+
+
+def test_pmid_fold_chunks_reference_quirk():
+    """cross_validation.py:14-16: contiguous len//k chunks; a remainder
+    forms extra chunks that never serve as a test fold."""
+    from kgre import cv
+    chunks = cv.pmid_fold_chunks(list(range(10)), 3)
+    assert chunks == [[0, 1, 2], [3, 4, 5], [6, 7, 8], [9]]
+    assert cv.pmid_fold_chunks(list(range(9)), 3) == [
+        [0, 1, 2], [3, 4, 5], [6, 7, 8]]
+
+
+def test_k_fold_cv_runs_and_respects_fold_membership(spark):
+    """The working CV protocol the reference's dead module intended:
+    per-fold vocab from training only, per-(fold, rel) F1 rows."""
+    from kgre import cv
+    cands, _, key_order, fwd, rev = _setup(spark, n_pages=60)
+    out = cv.k_fold_cv(cands, 3, key_order, fwd, rev, occur_count=2,
+                       epochs=5).collect()
+    assert {r["fold"] for r in out} == {0, 1, 2}
+    assert {r["rel"] for r in out} <= set(key_order)
+    for r in out:
+        assert 0.0 <= r["f1"] <= 1.0
+        assert r["tp"] >= 0 and r["fp"] >= 0 and r["fn"] >= 0
+    cands.unpersist()
