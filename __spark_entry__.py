@@ -347,6 +347,22 @@ def _q_token_count(spark, sf_dir):
     return textstats.token_count(_docs(spark, sf_dir))
 
 
+def _q_token_count_bpe(spark, sf_dir):
+    return textstats.token_count_bpe(_docs(spark, sf_dir))
+
+
+def _q_winnow_fingerprint(spark, sf_dir):
+    """Winnowing rolling-hash fingerprints, aggregated per doc."""
+    fp = textstats.winnow_fingerprints(_docs(spark, sf_dir), k=5, w=4)
+    return fp.groupBy("doc_id").agg(F.count("*").alias("n_fps"),
+                                    F.min("fp").alias("min_fp"))
+
+
+def _q_ann_ivf_topk(spark, sf_dir):
+    return similarity.ivf_topk(_embs(spark, sf_dir), query_id=0, k=10,
+                               n_cells=16, n_probe=4)
+
+
 def _q_quality_score(spark, sf_dir):
     return textstats.quality_score(_docs(spark, sf_dir))
 
@@ -493,8 +509,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_neardup": _q_cosine_neardup,
         "q_cosine_neardup_exact": _q_cosine_neardup_exact,
         "q_ann_lsh_topk": _q_ann_lsh_topk,
+        "q_ann_ivf_topk": _q_ann_ivf_topk,
         # text analysis
         "q_token_count": _q_token_count,
+        "q_token_count_bpe": _q_token_count_bpe,
+        "q_winnow_fingerprint": _q_winnow_fingerprint,
         "q_quality_score": _q_quality_score,
         "q_lang_id": _q_lang_id,
         "q_fingerprint": _q_fingerprint,
@@ -945,6 +964,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER)
                      AS n_tokens
             FROM documents
+        """,
+        "q_token_count_bpe": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[a-z]{1,4}|[0-9]+|[^a-z0-9 ]')) AS INTEGER)
+                     AS n_bpe_tokens
+            FROM documents
+        """,
+        "q_winnow_fingerprint": """
+            WITH g AS (
+              SELECT doc_id, i,
+                     ('0x' || substring(md5(substring(text, i, 5)), 1, 12))
+                       ::BIGINT AS h
+              FROM documents,
+                   unnest(range(1, greatest(length(text) - 4, 0) + 1))
+                     AS t(i)
+              WHERE length(text) >= 5),
+            w AS (SELECT doc_id,
+                         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+                  FROM g),
+            d AS (SELECT DISTINCT doc_id, fp FROM w)
+            SELECT doc_id, count(*)::BIGINT AS n_fps, min(fp) AS min_fp
+            FROM d GROUP BY doc_id
+        """,
+        "q_ann_ivf_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+                       FROM embeddings),
+            cent AS (SELECT vec_id AS cell, emb FROM e WHERE vec_id < 16),
+            q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+            probe AS (SELECT cell FROM cent, q
+                      ORDER BY list_dot_product(cent.emb, q.qe)
+                               / (sqrt(list_dot_product(cent.emb, cent.emb))
+                                  * sqrt(list_dot_product(q.qe, q.qe))) DESC,
+                               cell
+                      LIMIT 4),
+            asg0 AS (SELECT e.vec_id, c.cell,
+                            row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.emb, c.emb)
+                                / (sqrt(list_dot_product(e.emb, e.emb))
+                                   * sqrt(list_dot_product(c.emb, c.emb)))
+                                DESC, c.cell) AS rk
+                     FROM e, cent c),
+            asg AS (SELECT vec_id, cell FROM asg0 WHERE rk = 1),
+            cand AS (SELECT e.vec_id, e.emb
+                     FROM e JOIN asg USING (vec_id) JOIN probe USING (cell)),
+            s AS (SELECT vec_id,
+                         list_dot_product(emb, qe)
+                           / (sqrt(list_dot_product(emb, emb))
+                              * sqrt(list_dot_product(qe, qe))) AS sim
+                  FROM cand, q WHERE vec_id != 0)
+            SELECT vec_id, round(sim, 4) AS cos_sim
+            FROM s ORDER BY sim DESC, vec_id LIMIT 10
         """,
         "q_quality_score": f"""
             WITH b AS (

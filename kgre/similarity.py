@@ -173,6 +173,64 @@ def cosine_neardup_bucketed(embs: DataFrame, threshold: float = 0.9,
     )
 
 
+def ivf_cells(embs: DataFrame, n_cells: int = 16) -> DataFrame:
+    """(vec_id, cell): IVF coarse quantization.  Centroids are the first
+    ``n_cells`` vectors by vec_id (a deterministic, training-free
+    quantizer — a k-means-trained codebook would slot into the same
+    broadcast without changing the dataflow); each vector is assigned to
+    its max-cosine centroid (ties: lowest cell id, unreachable with real
+    embeddings).  One Arrow-vectorized pass over a broadcast [n_cells,
+    dim] matrix — map-only, no shuffle."""
+    spark = embs.sparkSession
+    cent = (embs.filter(F.col("vec_id") < n_cells)
+            .orderBy("vec_id").collect())
+    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                    for r in cent])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    b_c = spark.sparkContext.broadcast(mat)
+
+    def run(batches):
+        c = b_c.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack([np.asarray(e, dtype=np.float64)
+                          for e in pdf["embedding"]])
+            v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            cell = np.argmax(v @ c.T, axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "cell": cell.astype(np.int64)})
+
+    return embs.select("vec_id", "embedding").mapInPandas(
+        run, schema="vec_id long, cell long")
+
+
+def ivf_topk(embs: DataFrame, query_id: int, k: int = 10,
+             n_cells: int = 16, n_probe: int = 4) -> DataFrame:
+    """IVF approximate top-k: exact cosine rerank within the query's
+    ``n_probe`` closest cells.  The scale path's shape: the inverted file
+    restricts the scan to n_probe/n_cells of the corpus; candidate
+    filtering is a broadcast semi-join on cell id (no shuffle of the
+    corpus)."""
+    cells = ivf_cells(embs, n_cells)
+    q = embs.filter(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("q_emb"))
+    cent = embs.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), "embedding")
+    probe = (
+        cent.crossJoin(F.broadcast(q))
+        .select("cell",
+                (_dot(F.col("embedding"), F.col("q_emb"))
+                 / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))))
+                .alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("cell")).limit(n_probe)
+        .select("cell")
+    )
+    in_cells = cells.join(F.broadcast(probe), "cell").select("vec_id")
+    cand = embs.join(in_cells, "vec_id")
+    return cosine_topk(cand, query_id, k)
+
+
 def ann_topk(embs: DataFrame, query_id: int, k: int = 10,
              n_planes: int = 8) -> DataFrame:
     """Approximate top-k: exact cosine rerank within the query's LSH

@@ -10,7 +10,7 @@ sides.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # deterministic English function-word list shared with the SQL oracles
@@ -73,6 +73,54 @@ def lang_id(docs: DataFrame, threshold: float = 0.08) -> DataFrame:
         F.round(score, 4).alias("en_score"),
         F.when(score >= threshold, F.lit("en")).otherwise(F.lit("other"))
         .alias("lang_pred"),
+    )
+
+
+# BPE-ish subword pattern: greedy <=4-letter chunks, digit runs, single
+# other symbols.  No lookarounds, so Java regex (Spark) and RE2 (DuckDB)
+# tokenize identically; greedy leftmost-first matching is common to both.
+BPE_PATTERN = "[a-z]{1,4}|[0-9]+|[^a-z0-9 ]"
+
+
+def token_count_bpe(docs: DataFrame) -> DataFrame:
+    """Subword-ish token count: number of BPE_PATTERN matches — the
+    LLM-pipeline 'token budget' estimator next to the whitespace count
+    (both pure Catalyst, JVM regex, no Python)."""
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0))
+        .alias("n_bpe_tokens"),
+    )
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4) -> DataFrame:
+    """Rolling-hash document fingerprints by WINNOWING (Schleimer et al.,
+    SIGMOD'03): hash every k-char gram, keep the minimum hash of each
+    w-gram window, distinct per doc.  Near-identical documents share most
+    fingerprints, so the output joins like shingle sets but is ~1/w the
+    size.
+
+    All Catalyst: char-gram positions explode to a NARROW (doc_id, i, h)
+    stream (no text duplication — the gram is hashed in the same
+    projection), one shuffle for the per-doc window, then the distinct.
+    Hash = first 12 hex of md5 as a 48-bit int, reproducible in DuckDB.
+    """
+    n_grams = F.length("text") - (k - 1)
+    # guard: sequence(1, 0) would generate a DESCENDING [1, 0] — docs
+    # shorter than k contribute no grams
+    grams = docs.filter(F.length("text") >= k).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), n_grams)).alias("i"),
+        "text",
+    ).selectExpr(
+        "doc_id", "i",
+        "cast(conv(substring(md5(substring(text, i, %d)), 1, 12), 16, 10) "
+        "as bigint) as h" % k,
+    )
+    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+    return (
+        grams.select("doc_id", F.min("h").over(win).alias("fp"))
+        .distinct()
     )
 
 

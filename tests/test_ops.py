@@ -254,3 +254,59 @@ def test_connected_components_log_iterations_on_path_graph(spark):
            for r in canon.connected_components(df, stats=stats).collect()}
     assert got == {("n%03d" % i, "n000") for i in range(64)}
     assert stats["iterations"] <= 9, stats
+
+
+def test_ivf_topk_recall_against_brute_force(spark):
+    """IVF with n_probe cells must recover most exact top-k neighbors on
+    clustered data (the query's cluster lands in its probed cells)."""
+    import numpy as np
+    rng = np.random.RandomState(12)
+    base = rng.randn(8, 16)
+    # interleave clusters so vec_ids 0..7 (the training-free codebook)
+    # span one member of EACH cluster
+    rows = []
+    for member in range(10):
+        for c in range(8):
+            v = base[c] + rng.randn(16) * 0.05
+            rows.append((member * 8 + c, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {r["vec_id"] for r in similarity.cosine_topk(df, 0, 5).collect()}
+    approx = {r["vec_id"] for r in similarity.ivf_topk(
+        df, 0, 5, n_cells=8, n_probe=3).collect()}
+    assert len(exact & approx) >= 4
+    # every vector lands in exactly one cell
+    cells = similarity.ivf_cells(df, n_cells=8)
+    assert cells.count() == 80
+    assert cells.select("vec_id").distinct().count() == 80
+
+
+def test_winnow_fingerprints_overlap_behavior(spark):
+    """Winnowing: identical docs share ALL fingerprints; a doc with one
+    edit shares most; an unrelated doc shares few."""
+    from kgre import textstats
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = a.replace("lazy", "hazy")
+    c = "completely different content with nothing shared at all here"
+    df = spark.createDataFrame([(0, a), (1, a), (2, b), (3, c)],
+                               "doc_id long, text string")
+    fp = textstats.winnow_fingerprints(df, k=5, w=4)
+    sets = {i: set() for i in range(4)}
+    for r in fp.collect():
+        sets[r["doc_id"]].add(r["fp"])
+    assert sets[0] == sets[1] and sets[0]
+    inter_ab = len(sets[0] & sets[2]) / len(sets[0] | sets[2])
+    inter_ac = len(sets[0] & sets[3]) / len(sets[0] | sets[3])
+    assert inter_ab > 0.5 > inter_ac
+    # short docs (< k chars) contribute nothing, and don't crash
+    tiny = spark.createDataFrame([(9, "ab")], "doc_id long, text string")
+    assert textstats.winnow_fingerprints(tiny, k=5, w=4).count() == 0
+
+
+def test_token_count_bpe_values(spark):
+    from kgre import textstats
+    df = spark.createDataFrame(
+        [(0, "hello world42"), (1, "a,b")], "doc_id long, text string")
+    got = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in textstats.token_count_bpe(df).collect()}
+    # hello -> hell+o (2), world42 -> worl+d+42 (3); a,b -> a + ',' + b
+    assert got == {0: 5, 1: 3}
