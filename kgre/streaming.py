@@ -27,6 +27,7 @@ lineage-manifest model used by the batch path (kgre/lineage.py).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from kgre import kb as kbmod
 from kgre.candidates import CANDIDATES_SCHEMA
@@ -100,4 +101,70 @@ def stream_triples(
     return writer.start()
 
 
-__all__ = ["read_page_stream", "stream_triples", "CANDIDATES_SCHEMA"]
+def dedup_page_stream(pages_stream: DataFrame) -> DataFrame:
+    """Custom STATEFUL streaming operator: cross-micro-batch exact dedup
+    — emit each content fingerprint's FIRST page only, ever (later
+    micro-batches carrying the same fingerprint emit nothing).
+
+    Built on ``applyInPandasWithState`` keyed by the content fingerprint
+    (the engine's custom-stateful-operator surface; state = seen flag in
+    the streaming state store, checkpointed with the offsets, so resume
+    keeps dedup exact).  Within a batch the earliest url wins
+    (deterministic).  At cluster scale the state store shards by the
+    group key, i.e. the dedup is distributed exactly like a shuffle by
+    fingerprint."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (StringType, StructField, StructType)
+
+    from kgre.textstats import normalized_text
+
+    out_schema = StructType([
+        StructField("fp", StringType()),
+        StructField("url", StringType()),
+        StructField("text", StringType()),
+    ])
+    state_schema = StructType([StructField("seen", StringType())])
+
+    def keep_first(key, pdfs, state):
+        import pandas as pd
+        first = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            row = pdf.sort_values("url").iloc[0]
+            if first is None or row["url"] < first["url"]:
+                first = row
+        if state.exists or first is None:
+            # fingerprint already emitted in an earlier batch
+            return iter(())
+        state.update(("y",))
+        return iter([pd.DataFrame({"fp": [key[0]], "url": [first["url"]],
+                                   "text": [first["text"]]})])
+
+    fp = pages_stream.select(
+        F.col("url"), F.col("text"),
+        F.md5(normalized_text("text")).alias("fp"))
+    return fp.groupBy("fp").applyInPandasWithState(
+        keep_first, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout)
+
+
+def windowed_page_counts(pages_stream: DataFrame,
+                         window: str = "1 hour",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window ingest statistics: pages per
+    (window, lang), tolerating ``watermark`` of event-time lateness on
+    ``warc_ts`` before a window finalizes — the standard late-data
+    pattern for continuous WARC drops (no reference counterpart;
+    SURVEY.md §2.12 extension)."""
+    return (pages_stream
+            .withWatermark("warc_ts", watermark)
+            .groupBy(F.window("warc_ts", window).alias("win"), "lang")
+            .agg(F.count("*").alias("n_pages"))
+            .select(F.col("win.start").alias("win_start"), "lang",
+                    "n_pages"))
+
+
+__all__ = ["read_page_stream", "stream_triples", "batch_processor",
+           "dedup_page_stream", "windowed_page_counts",
+           "CANDIDATES_SCHEMA"]

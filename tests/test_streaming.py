@@ -87,3 +87,74 @@ def test_mid_batch_replay_does_not_duplicate(spark, tmp_path):
     assert once == twice and once
     assert max(twice.values()) == 1
     cands.unpersist()
+
+
+def test_stateful_stream_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState cross-batch dedup: a fingerprint emits its
+    FIRST page only, even when duplicates arrive in later micro-batches."""
+    import pandas as pd
+
+    pages_dir = str(tmp_path / "pages")
+    # 3 files = 3 micro-batches (maxFilesPerTrigger=1 below is implicit
+    # via separate writes); duplicates within AND across files
+    base = synthgen.gen_pages_rows(6)
+    rows = []
+    for i, p in enumerate(base):
+        rows.append((p["url"], p["warc_ts"], p["html"], p["text"], p["lang"]))
+    dup = rows[0]
+    for fidx, chunk in enumerate((rows[:2] + [dup], rows[2:4] + [dup],
+                                  rows[4:] + [(dup[0] + "x", *dup[1:])])):
+        spark.createDataFrame(chunk, synthgen.PAGES_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(pages_dir)
+    stream = streaming.read_page_stream(spark, pages_dir,
+                                        max_files_per_trigger=1)
+    out = str(tmp_path / "dedup_out")
+    q = (streaming.dedup_page_stream(stream)
+         .writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    fps = [r["fp"] for r in got.collect()]
+    assert len(fps) == len(set(fps)), "a fingerprint was emitted twice"
+    # every distinct text is represented exactly once, by its min url
+    batch_fp = {}
+    for url, _, _, text, _ in rows + [(dup[0] + "x", *dup[1:])]:
+        batch_fp.setdefault(text, set()).add(url)
+    assert len(fps) == len(batch_fp)
+    by_fp = {r["fp"]: r["url"] for r in got.collect()}
+    for text, urls in batch_fp.items():
+        assert min(urls) in by_fp.values()
+
+
+def test_windowed_page_counts_watermark(spark, tmp_path):
+    """Watermarked tumbling windows: closed windows emit exactly once
+    with the right totals."""
+    from datetime import datetime, timedelta
+
+    pages_dir = str(tmp_path / "pages")
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for h in range(8):           # 8 hourly windows
+        for j in range(h + 1):   # h+1 pages in window h
+            rows.append(("u%d_%d" % (h, j), t0 + timedelta(hours=h, minutes=j),
+                         b"<html></html>", "t", "en"))
+    spark.createDataFrame(rows, synthgen.PAGES_SCHEMA).repartition(4) \
+        .write.mode("overwrite").parquet(pages_dir)
+    stream = streaming.read_page_stream(spark, pages_dir)
+    out = str(tmp_path / "win_out")
+    q = (streaming.windowed_page_counts(stream, "1 hour", "2 hours")
+         .writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck2"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(300)
+    got = {(r["win_start"].hour, r["n_pages"])
+           for r in spark.read.parquet(out).collect()}
+    starts = [h for h, _ in got]
+    assert len(starts) == len(set(starts)), "a window emitted twice"
+    for h, n in got:
+        assert n == h + 1, (h, n)
+    # windows more than the watermark behind the max event time closed
+    assert {h for h, _ in got} >= {0, 1, 2, 3, 4}
