@@ -386,6 +386,18 @@ def _q_frame_sample(spark, sf_dir):
     return multimodal.frame_sample(blobs, every_k=2)
 
 
+def _q_frame_resize(spark, sf_dir):
+    blobs = multimodal.blobs_from_documents(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 100))
+    return multimodal.resize_frames(blobs, out_w=4, out_h=4)
+
+
+def _q_frame_features(spark, sf_dir):
+    blobs = multimodal.blobs_from_documents(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 60))
+    return multimodal.frame_features(blobs)
+
+
 def _q_triple_parity(spark, sf_dir):
     """THE BASELINE metric: precision/recall of the Spark pipeline's
     emitted triples vs the materialized single-process-oracle golden
@@ -520,6 +532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing
         "q_multimodal_meta": _q_multimodal_meta,
         "q_frame_sample": _q_frame_sample,
+        "q_frame_resize": _q_frame_resize,
+        "q_frame_features": _q_frame_features,
         # entity linking (north-star)
         "q_entity_linking": _q_entity_linking,
         # LSTM scoring path (M3/M5; rows-only, non-SQL)
@@ -1069,6 +1083,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
                    round(avg(val), 4) AS mean_intensity
             FROM px GROUP BY doc_id, f
+        """,
+        "q_frame_resize": """
+            WITH v AS (
+              SELECT doc_id,
+                     8 + doc_id % 16 AS w,
+                     8 + (doc_id // 3) % 16 AS h,
+                     1 + doc_id % 5 AS nf
+              FROM documents
+              WHERE doc_id < 100 AND doc_id % 3 = 2),
+            fr AS (SELECT doc_id, w, h, nf, unnest(range(0, nf)) AS f
+                   FROM v),
+            px AS (SELECT doc_id, f,
+                          (doc_id * 131
+                           + (f * w * h + ((yy * h) // 4) * w
+                              + ((xx * w) // 4)) * 17) % 256 AS val
+                   FROM fr, unnest(range(0, 4)) AS a(yy),
+                        unnest(range(0, 4)) AS b(xx))
+            SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+                   round(avg(val), 4) AS out_mean
+            FROM px GROUP BY doc_id, f
+        """,
+        "q_frame_features": """
+            WITH v AS (
+              SELECT doc_id,
+                     8 + doc_id % 16 AS w,
+                     8 + (doc_id // 3) % 16 AS h,
+                     CASE WHEN doc_id % 3 = 0 THEN 1
+                          ELSE 1 + doc_id % 5 END AS nf
+              FROM documents WHERE doc_id < 60),
+            fr AS (SELECT doc_id, w, h, nf, unnest(range(0, nf)) AS f
+                   FROM v),
+            px AS (SELECT doc_id, f, w * h AS sz,
+                          (doc_id * 131 + (f * w * h + i) * 17) % 256 AS val
+                   FROM fr, unnest(range(0, w * h)) AS t(i))
+            SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+                   CAST(sz AS INTEGER) AS n_px,
+                   round(sum(val) * 1.0 / sz, 4) AS mean_px,
+                   round(sum(val * val) * 1.0 / sz
+                         - (sum(val) * 1.0 / sz) * (sum(val) * 1.0 / sz), 4)
+                     AS var_px,
+                   CAST(min(val) AS INTEGER) AS min_px,
+                   CAST(max(val) AS INTEGER) AS max_px
+            FROM px GROUP BY doc_id, f, sz
         """,
         "q_entity_linking": """
             WITH m0 AS (SELECT p_partkey AS mid,

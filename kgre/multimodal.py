@@ -114,6 +114,75 @@ def frame_sample(blobs: DataFrame, every_k: int = 2) -> DataFrame:
     )
 
 
+def resize_frames(blobs: DataFrame, out_w: int = 4,
+                  out_h: int = 4) -> DataFrame:
+    """Nearest-neighbor resize of every video frame to (out_w, out_h) —
+    REAL resize math on the byte-planes (only the codec decode is
+    stubbed): out(y, x) = in((y*h)//out_h, (x*w)//out_w).  Emits the
+    resized frame's mean so the result is oracle-checkable without
+    shipping pixel arrays through the compare."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                blob = bytes(blob)
+                if blob[:4] != MAGIC:
+                    continue
+                w, h, nf = struct.unpack(">III", blob[4:16])
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                for f in range(nf):
+                    frame = np.frombuffer(
+                        blob, dtype=np.uint8, count=w * h,
+                        offset=HEADER_LEN + f * w * h).reshape(h, w)
+                    small = frame[np.ix_(ys, xs)]
+                    rows.append({"doc_id": doc_id, "frame_idx": f,
+                                 "out_mean": float(np.round(
+                                     small.astype(np.float64).mean(), 4))})
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx",
+                                              "out_mean"])
+
+    return blobs.filter(F.col("media_type") == "video").mapInPandas(
+        run, schema="doc_id long, frame_idx int, out_mean double")
+
+
+def frame_features(blobs: DataFrame) -> DataFrame:
+    """Per-frame feature extraction over the byte-planes: pixel count,
+    mean, population variance (exact integer sums, so any engine
+    reproduces it), min, max."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                blob = bytes(blob)
+                if blob[:4] != MAGIC:
+                    continue
+                w, h, nf = struct.unpack(">III", blob[4:16])
+                sz = w * h
+                for f in range(nf):
+                    fr = np.frombuffer(blob, dtype=np.uint8, count=sz,
+                                       offset=HEADER_LEN + f * sz
+                                       ).astype(np.int64)
+                    s, s2 = int(fr.sum()), int((fr * fr).sum())
+                    mean = s / sz
+                    rows.append({
+                        "doc_id": doc_id, "frame_idx": f,
+                        "n_px": sz,
+                        "mean_px": float(np.round(mean, 4)),
+                        "var_px": float(np.round(s2 / sz - mean * mean, 4)),
+                        "min_px": int(fr.min()), "max_px": int(fr.max()),
+                    })
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "n_px",
+                                              "mean_px", "var_px", "min_px",
+                                              "max_px"])
+
+    return blobs.mapInPandas(
+        run, schema="doc_id long, frame_idx int, n_px int, mean_px double, "
+                    "var_px double, min_px int, max_px int")
+
+
 def extract_real_features(blobs: DataFrame):  # pragma: no cover - stub
     """Real codec path (PIL/libav feature extraction).  STUB: the container
     ships no media libraries; the deterministic fake above exercises all

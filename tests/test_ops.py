@@ -310,3 +310,31 @@ def test_token_count_bpe_values(spark):
            for r in textstats.token_count_bpe(df).collect()}
     # hello -> hell+o (2), world42 -> worl+d+42 (3); a,b -> a + ',' + b
     assert got == {0: 5, 1: 3}
+
+
+def test_multimodal_resize_and_features(spark):
+    """Nearest-neighbor resize + per-frame features on the deterministic
+    byte-planes (real math, only the codec decode is stubbed)."""
+    import numpy as np
+    from kgre import multimodal
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    blobs = multimodal.blobs_from_documents(docs)
+    rs = {(r["doc_id"], r["frame_idx"]): r["out_mean"]
+          for r in multimodal.resize_frames(blobs, 4, 4).collect()}
+    ft = {(r["doc_id"], r["frame_idx"]): r
+          for r in multimodal.frame_features(blobs).collect()}
+    # hand-compute doc 2 (video, w=10, h=8, nf=3), frame 1
+    d, w, h, f = 2, 10, 8, 1
+    frame = ((d * 131 + (np.arange(w * h) + f * w * h) * 17) % 256)
+    grid = frame.reshape(h, w)
+    ys, xs = (np.arange(4) * h) // 4, (np.arange(4) * w) // 4
+    want_mean = round(float(grid[np.ix_(ys, xs)].mean()), 4)
+    assert rs[(2, 1)] == want_mean
+    r = ft[(2, 1)]
+    assert r["n_px"] == w * h
+    assert r["min_px"] == int(frame.min()) and r["max_px"] == int(frame.max())
+    assert abs(r["mean_px"] - round(float(frame.mean()), 4)) < 1e-9
+    # images (doc_id % 3 == 0) have exactly one frame in features, and
+    # never appear in the video-only resize output
+    assert (0, 0) in ft and (0, 1) not in ft
+    assert all(d_ % 3 == 2 for d_, _ in rs)
