@@ -87,9 +87,13 @@ def run_bench() -> None:
 
 
 def _corpus_dir(sf_dir: str, n_docs: int) -> str:
+    from kgre.webtext import WEBTEXT_VERSION
+
+    # version token guards against a stale cached corpus after a change
+    # to the page-derivation semantics (bump WEBTEXT_VERSION there)
     return os.environ.get(
         "SPARK_GRAFT_CORPUS_DIR",
-        f"/tmp/kgre_scale_corpus_{n_docs}")
+        f"/tmp/kgre_scale_corpus_{WEBTEXT_VERSION}_{n_docs}")
 
 
 def _materialize_corpus(sf_dir: str, n_docs: int) -> str:

@@ -42,7 +42,15 @@ from kgre.vocab import build_vocab
 
 def _load_pages(spark, args):
     if args.pages:
-        return spark.read.parquet(args.pages)
+        # S2 directory-walk + F5 file-suffix predicate as scan options
+        # (reference: os.walk + endswith('.txt'), load_data.py:457-475):
+        # both evaluated at file listing, before any bytes are read
+        reader = spark.read
+        if args.pages_glob:
+            reader = reader.option("pathGlobFilter", args.pages_glob)
+        if args.recursive:
+            reader = reader.option("recursiveFileLookup", "true")
+        return reader.parquet(args.pages)
     if args.documents:
         return webtext.pages_from_documents(spark.read.parquet(args.documents))
     return synthgen.pages_df(spark, args.synth)
@@ -225,6 +233,11 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="kgre", description=__doc__)
     p.add_argument("mode", choices=sorted(MODES))
     p.add_argument("--pages", help="parquet dir of pages")
+    p.add_argument("--pages-glob", default=None,
+                   help="pathGlobFilter for --pages (F5 file-suffix "
+                        "predicate, e.g. '*.parquet')")
+    p.add_argument("--recursive", action="store_true",
+                   help="recursiveFileLookup for --pages (S2 directory walk)")
     p.add_argument("--documents", help="parquet file of driver documents")
     p.add_argument("--synth", type=int, default=200,
                    help="generate N synthetic pages when no input given")

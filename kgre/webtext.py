@@ -18,6 +18,9 @@ from kgre.util import ensure_min_partitions, h48, hseq
 
 _TS_BASE = datetime(2024, 1, 1)
 
+# bump when doc_to_page semantics change — benchmark corpus caches key on it
+WEBTEXT_VERSION = "v1"
+
 
 
 _PAGE_COLS = ["url", "warc_ts", "html", "text", "lang"]

@@ -113,3 +113,30 @@ def test_cli_train_lstm(spark, tmp_path, monkeypatch):
     # output layer keyed by relation string, embeddings by feature string
     assert w.filter("layer = 'w2'").select("key").distinct().count() == 3
     assert w.filter("layer = 'word_emb'").count() > 0
+
+
+def test_cli_pages_glob_and_recursive(spark, tmp_path, monkeypatch):
+    """F5/S2 as scan options: nested dirs + suffix filter reach the file
+    listing (only matching files are read)."""
+    from kgre import synthgen
+    pages = synthgen.pages_df(spark, 30)
+    root = tmp_path / "pagedirs"
+    pages.limit(20).coalesce(1).write.parquet(str(root / "a"))
+    pages.coalesce(1).write.parquet(str(root / "b"))
+    # rename b's data file so the glob excludes it
+    import os
+    for f in os.listdir(root / "b"):
+        if f.endswith(".parquet"):
+            os.rename(root / "b" / f, root / "b" / (f[:-8] + ".other"))
+    out = str(tmp_path / "glob_out")
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    cli.main(["build", "--pages", str(root), "--recursive",
+              "--pages-glob", "*.parquet", "--occur-count", "2",
+              "--out", out])
+    # only dir a's 20 pages contribute candidates
+    cands = spark.read.parquet(out + "/candidates")
+    urls = {r["url"] for r in cands.select("url").distinct().collect()}
+    a_urls = {r["url"] for r in spark.read.parquet(str(root / "a"))
+              .select("url").collect()}
+    assert urls <= a_urls and urls
