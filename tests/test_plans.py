@@ -112,3 +112,34 @@ def test_bucketed_neardup_recall_vs_exact(spark):
         embs, threshold=0.30, n_planes=8, bands=4, max_id=150).collect()}
     assert lsh <= exact
     assert len(lsh) >= 0.6 * len(exact), (len(lsh), len(exact))
+
+
+def test_scorer_input_is_pruned(spark):
+    """The TEST-mode scoring stage must not ship sentence text or the
+    unused sdp_types through the Arrow boundary (mapInPandas receives
+    every input column, so the projection must be explicit upstream)."""
+    from kgre import synthgen
+    from kgre.kb import load_kb_sets, ontology_closure_dict
+    from kgre.score import score_candidates
+    from kgre.vocab import build_vocab, collect_vocab_sets
+
+    pages = synthgen.pages_df(spark, 10)
+    cands = pages_to_candidates(pages, "GENE", "ONTOLOGY",
+                                synthgen.stop_entity_ids()).persist()
+    vocabs = collect_vocab_sets(build_vocab(cands, 2))
+    fwd, rev = load_kb_sets(synthgen.kb_rows(),
+                            ontology_closure_dict(synthgen.ontology_rows()))
+    scored = score_candidates(cands, vocabs, sorted(fwd), fwd, rev,
+                              emit_threshold=0.5)
+    plan = _plan(scored)
+    # the scorer's MapInPandas INPUT list (text before the ')#' closing
+    # run(...)) must exclude the pruned cols; the candidates stage's own
+    # node lists them in its OUTPUT, which is fine
+    map_lines = [ln for ln in plan.splitlines()
+                 if "Arguments: run(" in ln
+                 and "pair_e1_ids" in ln.split(")#")[0]]
+    assert map_lines, plan
+    for ln in map_lines:
+        args = ln.split(")#")[0]
+        assert "sent_text" not in args and "sdp_types" not in args, ln
+    cands.unpersist()
