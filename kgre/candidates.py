@@ -134,18 +134,20 @@ def _mask(tok) -> str:
     return tok["lemma"]
 
 
-def _instance_features(by_id, cells, nbrs, start, end, between):
+def _instance_features(masks, cells, nbrs, start, end, between):
     """SDP features for one directed instance (start/end are
     (between_idx, dep_idx) pairs).  ``between`` is computed once per pair
     by the caller — it is direction-independent (min/max of the same two
-    indices, instances.py:150-163)."""
+    indices, instances.py:150-163).  ``masks`` is the per-sentence
+    {token_id: masked word} dict (each token's mask is queried once per
+    path visit across many pairs, so it is precomputed per sentence)."""
     path = _bfs_path(nbrs, start[1], end[1])
     type_path, word_path, elements = [], [], []
     for i in range(len(path) - 1):
         a, b = path[i], path[i + 1]
         dep_type = cells.get((a, b), "")
-        sw = "START_ENTITY" if i == 0 else _mask(by_id[a])
-        ew = "END_ENTITY" if i + 1 == len(path) - 1 else _mask(by_id[b])
+        sw = "START_ENTITY" if i == 0 else masks[a]
+        ew = "END_ENTITY" if i + 1 == len(path) - 1 else masks[b]
         elements.append(sw + dep_type + ew)
         if sw != "":
             word_path.append(sw)
@@ -203,6 +205,7 @@ def sentence_candidates(url, sent_id, tokens, deps, entity_a, entity_b, stop,
     cells, nbrs = _adjacency(deps, len(tokens))
     by_id = {t["id"]: t for t in tokens}
     by_id[0] = ROOT_TOKEN
+    masks = {i: _mask(t) for i, t in by_id.items()}
     rows = []
     pair_idx = 0
     for za in t1:
@@ -229,9 +232,9 @@ def sentence_candidates(url, sent_id, tokens, deps, entity_a, entity_b, stop,
                         continue
                     g2g = "GENE" in tok1["ner"] and "GENE" in tok2["ner"]
                     lo, hi = min(p0[0], p1[0]), max(p0[0], p1[0])
-                    between = [_mask(by_id[i]) for i in range(lo + 1, hi)]
+                    between = [masks[i] for i in range(lo + 1, hi)]
                     for is_rev, (s, e) in ((False, (p0, p1)), (True, (p1, p0))):
-                        feats = _instance_features(by_id, cells, nbrs, s, e,
+                        feats = _instance_features(masks, cells, nbrs, s, e,
                                                    between)
                         rows.append(
                             {
