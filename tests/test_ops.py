@@ -338,3 +338,18 @@ def test_multimodal_resize_and_features(spark):
     # never appear in the video-only resize output
     assert (0, 0) in ft and (0, 1) not in ft
     assert all(d_ % 3 == 2 for d_, _ in rs)
+
+
+def test_connected_components_hot_hub_salted(spark):
+    """Skew shape (north_rule: salted repartitioning for hot entities):
+    one hub with 5,000 leaves — the hub's component floods every leaf in
+    one round through the salted two-phase min, labels correct."""
+    from kgre import canon
+    edges = [("hub", "leaf%05d" % i) for i in range(5000)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    stats = {}
+    got = {r["node"]: r["component"]
+           for r in canon.connected_components(df, stats=stats).collect()}
+    assert len(got) == 5001
+    assert set(got.values()) == {"hub"}
+    assert stats["iterations"] <= 3, stats
