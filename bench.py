@@ -90,10 +90,12 @@ def _corpus_dir(sf_dir: str, n_docs: int) -> str:
     from kgre.webtext import WEBTEXT_VERSION
 
     # version token guards against a stale cached corpus after a change
-    # to the page-derivation semantics (bump WEBTEXT_VERSION there)
+    # to the page-derivation semantics (bump WEBTEXT_VERSION there); the
+    # sf tag keeps corpora generated from different source sf dirs apart
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
     return os.environ.get(
         "SPARK_GRAFT_CORPUS_DIR",
-        f"/tmp/kgre_scale_corpus_{WEBTEXT_VERSION}_{n_docs}")
+        f"/tmp/kgre_scale_corpus_{WEBTEXT_VERSION}_{sf_tag}_{n_docs}")
 
 
 def _materialize_corpus(sf_dir: str, n_docs: int) -> str:

@@ -302,14 +302,23 @@ def allowlist_filter(cands: DataFrame, allow1=None, allow2=None) -> DataFrame:
     from pyspark.sql import functions as F
 
     keep = F.lit(True)
+    # an empty (non-None) allowlist keeps nothing on its side — matching
+    # allowlist_keep — and F.array() with zero elements is untyped, so
+    # short-circuit instead of building a literal array
     if allow1 is not None:
-        lit1 = F.array(*[F.lit(x) for x in sorted(allow1)])
-        keep = (keep & F.arrays_overlap("pair_e1_ids", lit1)
-                & ~F.arrays_overlap("pair_e2_ids", lit1))
+        if not allow1:
+            keep = F.lit(False)
+        else:
+            lit1 = F.array(*[F.lit(x) for x in sorted(allow1)])
+            keep = (keep & F.arrays_overlap("pair_e1_ids", lit1)
+                    & ~F.arrays_overlap("pair_e2_ids", lit1))
     if allow2 is not None:
-        lit2 = F.array(*[F.lit(x) for x in sorted(allow2)])
-        keep = (keep & F.arrays_overlap("pair_e2_ids", lit2)
-                & ~F.arrays_overlap("pair_e1_ids", lit2))
+        if not allow2:
+            keep = F.lit(False)
+        else:
+            lit2 = F.array(*[F.lit(x) for x in sorted(allow2)])
+            keep = (keep & F.arrays_overlap("pair_e2_ids", lit2)
+                    & ~F.arrays_overlap("pair_e1_ids", lit2))
     return cands.filter(keep)
 
 

@@ -207,11 +207,9 @@ def mode_train_lstm(spark, args):
     cands = pages_to_candidates(pages, args.entity_a, args.entity_b,
                                 synthgen.stop_entity_ids(),
                                 allow1=a1, allow2=a2).persist()
-    types = [r["f"] for r in
-             cands.selectExpr("explode(sdp_types) f").distinct().collect()]
-    words = [r["f"] for r in
-             cands.selectExpr("explode(sdp_words) f").distinct().collect()]
-    dep_vocab, word_vocab = lstm.lstm_vocabs(types, words)
+    # bounded distributed vocab build — no unbounded driver collect
+    dep_vocab, word_vocab = lstm.lstm_vocab_features(
+        cands, max_words=args.lstm_max_words)
     closure = kbmod.ontology_closure_dict(synthgen.ontology_rows())
     fwd, rev = kbmod.load_kb_sets(synthgen.kb_rows(), closure)
     key_order = sorted(fwd)
@@ -257,6 +255,10 @@ def main(argv=None):
                    help="exact NER key for eval-data phrase counts, side 2")
     p.add_argument("--epochs", type=int, default=40,
                    help="training epochs (reference default is 250)")
+    p.add_argument("--lstm-max-words", type=int, default=500_000,
+                   help="LSTM word-vocab bound: keep the top-N corpus "
+                        "words by count (min-count-0 reference semantics "
+                        "but bounded driver collect)")
     p.add_argument("--resume", action="store_true",
                    help="run the candidates stage per url-hash bucket with "
                         "a lineage manifest; reruns skip completed buckets")

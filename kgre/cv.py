@@ -73,6 +73,10 @@ def k_fold_cv(candidates: DataFrame, k: int, key_order, fwd_kb, rev_kb,
     spark = candidates.sparkSession
     pmids = [r["url"] for r in
              candidates.select("url").distinct().orderBy("url").collect()]
+    if len(pmids) < k:
+        raise ValueError(
+            f"k_fold_cv: need at least k={k} distinct documents, "
+            f"got {len(pmids)}")
     chunks = pmid_fold_chunks(pmids, k)
     results = None
     for fold in range(k):

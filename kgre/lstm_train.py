@@ -12,16 +12,18 @@ Reference fidelity:
     ``non_reg`` exclusion checks for the substring 'biases' and the cell
     variable is named 'bias', so it IS regularized, tf_lstm.py:235-238),
     hidden W and sigmoid W — NOT the embeddings and NOT hidden/sigmoid b.
-  * word-embedding dropout keep_prob 0.5 at train (word_dropout,
-    tf_lstm.py:191-192); dep embeddings are not dropped.
+  * dropout keep_prob 0.5 at train on BOTH the word embeddings
+    (word_dropout, tf_lstm.py:191-192) AND the hidden-layer output
+    (tf_lstm.py:221, fed 0.5 at train :276); dep embeddings are not
+    dropped.
   * inits: embeddings uniform[0,1) with a zeros PADDING tail row
     (tf_lstm.py:162-163, :185-186; the tail row is part of the trainable
     variable and receives gradients, faithfully kept); dense layers
     ``tf.truncated_normal(shape, -0.1, 0.1)`` — i.e. mean=-0.1 std=0.1
-    (tf_lstm.py:215, :222; the odd mean is the reference's, kept, modulo
-    numpy normal vs truncated); cell kernel glorot-uniform, cell bias
-    zeros with forget_bias 1.0 applied at the gate (LSTMBlockFusedCell
-    defaults).
+    truncated at 2 std, matched by rejection sampling (tf_lstm.py:215,
+    :222; the odd mean is the reference's, kept); cell kernel
+    glorot-uniform, cell bias zeros with forget_bias 1.0 applied at the
+    gate (LSTMBlockFusedCell defaults).
 
 The gradient math is verified against finite differences in
 tests/test_train.py; the trained weight dict drops into
@@ -85,6 +87,17 @@ def collect_lstm_training_set(candidates: DataFrame, dep_vocab, word_vocab,
 # ------------------------------------------------------------------- weights
 
 
+def truncated_normal(rng, shape, mean: float = -0.1, std: float = 0.1):
+    """``tf.truncated_normal`` semantics: draw N(mean, std), redraw any
+    sample farther than 2 std from the mean (rejection sampling)."""
+    out = rng.normal(mean, std, size=shape)
+    bad = np.abs(out - mean) > 2.0 * std
+    while bad.any():
+        out[bad] = rng.normal(mean, std, size=int(bad.sum()))
+        bad = np.abs(out - mean) > 2.0 * std
+    return out
+
+
 def init_lstm_params(dep_vocab, word_vocab, key_order, seed: int = SEED):
     """Reference init scheme (see module docstring)."""
     rng = np.random.RandomState(seed)
@@ -96,9 +109,9 @@ def init_lstm_params(dep_vocab, word_vocab, key_order, seed: int = SEED):
     kernel = rng.uniform(-lim, lim, size=(2 * STATE, 4 * STATE))
     cbias = np.zeros(4 * STATE)
     from kgre.lstm import HIDDEN
-    w1 = rng.normal(-0.1, 0.1, size=(STATE, HIDDEN))
+    w1 = truncated_normal(rng, (STATE, HIDDEN))
     b1 = np.zeros(HIDDEN)
-    w2 = rng.normal(-0.1, 0.1, size=(HIDDEN, len(key_order)))
+    w2 = truncated_normal(rng, (HIDDEN, len(key_order)))
     b2 = np.zeros(len(key_order))
     return {"word_emb": word_emb, "dep_emb": dep_emb, "kernel": kernel,
             "bias": cbias, "w1": w1, "b1": b1, "w2": w2, "b2": b2}
@@ -114,11 +127,15 @@ def _sigmoid(x):
 
 
 def lstm_loss_and_grads(params, t_ids, w_ids, lens, y,
-                        word_drop_mask=None, l2: float = LAMBDA_L2):
+                        word_drop_mask=None, hidden_drop_mask=None,
+                        l2: float = LAMBDA_L2):
     """Forward + full BPTT for one batch.  Returns (loss, grads dict).
 
     ``word_drop_mask``: optional [B, PAD_LEN, 1] inverted-dropout mask for
     the word-embedding steps (None = identity, the test/predict config).
+    ``hidden_drop_mask``: optional [B, HIDDEN] inverted-dropout mask on
+    the hidden-layer output before the sigmoid layer (tf_lstm.py:221,
+    keep_prob fed 0.5 at train :276; None = identity).
     """
     we, de = params["word_emb"], params["dep_emb"]
     kernel, cbias = params["kernel"], params["bias"]
@@ -155,6 +172,8 @@ def lstm_loss_and_grads(params, t_ids, w_ids, lens, y,
         h = h_new
 
     hidden = h @ w1 + b1                          # linear (tf_lstm.py:214-217)
+    if hidden_drop_mask is not None:
+        hidden = hidden * hidden_drop_mask
     logits = hidden @ w2 + b2
     p = _sigmoid(logits)
     ce = -(y * np.log(p + 1e-12) + (1 - y) * np.log(1 - p + 1e-12)).mean()
@@ -167,6 +186,8 @@ def lstm_loss_and_grads(params, t_ids, w_ids, lens, y,
     g_w2 = hidden.T @ d
     g_b2 = d.sum(axis=0)
     dhidden = d @ w2.T
+    if hidden_drop_mask is not None:
+        dhidden = dhidden * hidden_drop_mask
     g_w1 = h.T @ dhidden
     g_b1 = dhidden.sum(axis=0)
     dh = dhidden @ w1.T
@@ -232,13 +253,16 @@ def fit_lstm(t_ids, w_ids, lens, y, dep_vocab, word_vocab, key_order,
         ep = 0.0
         for s in range(0, n, batch):
             sel = order[s:s + batch]
-            mask = None
+            mask = hmask = None
             if keep_prob < 1.0:
+                from kgre.lstm import HIDDEN
                 mask = ((rng.random_sample((len(sel), PAD_LEN, 1))
                          < keep_prob) / keep_prob)
+                hmask = ((rng.random_sample((len(sel), HIDDEN))
+                          < keep_prob) / keep_prob)
             loss, grads = lstm_loss_and_grads(
                 params, t_ids[sel], w_ids[sel], lens[sel], y[sel],
-                word_drop_mask=mask, l2=l2)
+                word_drop_mask=mask, hidden_drop_mask=hmask, l2=l2)
             ep += loss * len(sel)
             t_step += 1
             for k in _PARAM_ORDER:

@@ -248,8 +248,14 @@ def highlight_sentences(scored: DataFrame) -> DataFrame:
     that code indexes sentence words by ``pair[x]`` tuples and crashes,
     flagged WORK IN PROGRESS at :53; this implements the evident intent,
     marking tokens ``pair[0][0]`` and ``pair[1][0]``).  Pure Catalyst
-    (split/transform/array_join) — no Python."""
-    words = F.split("sent_text", " ")
+    (split/transform/array_join) — no Python.
+
+    Tokenization parity: ``start_tok``/``end_tok`` index the output of
+    ``nlp.tokenize`` which uses Python ``str.split()`` — any whitespace
+    run, empties dropped.  Real HTML-extracted text carries double
+    spaces/tabs/newlines, so we split on ``\\s+`` and drop empties here
+    to keep the 1-based indices aligned with the tokenizer."""
+    words = F.filter(F.split("sent_text", r"\s+"), lambda w: w != F.lit(""))
     marked = F.transform(
         words,
         lambda w, i: F.when(

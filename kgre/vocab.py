@@ -48,12 +48,62 @@ def vocab_counts(candidates: DataFrame) -> DataFrame:
     )
 
 
+def two_phase_dense_ids(df: DataFrame, partition_cols, order_cols,
+                        id_col: str = "id", num_parts: int | None = None
+                        ) -> DataFrame:
+    """Skew-proof dense id assignment: ids count 0,1,2,... within each
+    ``partition_cols`` group in ``order_cols`` order — the semantics of
+    ``row_number() OVER (PARTITION BY group ORDER BY ...)`` — without
+    ever collapsing a group onto a single task.
+
+    Two phases: (1) range-repartition on the full (group, order) sort
+    key, so each group occupies a contiguous run of physical partitions
+    and every per-(partition, group) cell is bounded by the range
+    partitioner's balance; one small job counts rows per cell and the
+    driver prefix-sums them into offsets (#partitions x #groups rows —
+    tiny).  (2) a window partitioned by PHYSICAL partition id + group
+    (never a single-partition WindowExec) numbers rows locally and adds
+    the broadcast offset.  ``order_cols`` must be a total order within a
+    group for deterministic ids.  Range boundaries are deterministic for
+    deterministic input (RangePartitioner samples with per-partition
+    fixed seeds), so the count job and the output plan agree; the
+    repartitioned frame is persisted so phase 2 reuses phase 1's shuffle.
+    """
+    from pyspark import StorageLevel
+
+    spark = df.sparkSession
+    if num_parts is None:
+        num_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    gcols = list(partition_cols)
+    sort_exprs = [F.col(c) for c in gcols] + list(order_cols)
+    parted = (df.repartitionByRange(num_parts, *sort_exprs)
+              .withColumn("_pid", F.spark_partition_id())
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    cnt_rows = (parted.groupBy("_pid", *gcols)
+                .agg(F.count("*").alias("_n")).collect())
+    if not cnt_rows:
+        return df.withColumn(id_col, F.lit(0))
+    totals: dict = {}
+    offs = []
+    for r in sorted(cnt_rows, key=lambda r: r["_pid"]):
+        key = tuple(r[c] for c in gcols)
+        offs.append(tuple([r["_pid"]] + list(key) + [totals.get(key, 0)]))
+        totals[key] = totals.get(key, 0) + r["_n"]
+    off_df = spark.createDataFrame(
+        offs, ["_pid"] + gcols + ["_off"])
+    w = Window.partitionBy("_pid", *gcols).orderBy(*order_cols)
+    return (parted.join(F.broadcast(off_df), ["_pid"] + gcols)
+            .withColumn(id_col, F.row_number().over(w) - 1 + F.col("_off"))
+            .drop("_pid", "_off"))
+
+
 def build_vocab(candidates: DataFrame, occur_count: int) -> DataFrame:
     """(kind, feature, cnt, id) with min-count pruning and deterministic
-    dense ids per kind."""
+    dense ids per kind (two-phase rank — per-kind groups never collapse
+    to one task when min-count is low at corpus scale)."""
     counts = vocab_counts(candidates).filter(F.col("cnt") >= occur_count)
-    w = Window.partitionBy("kind").orderBy(F.desc("cnt"), F.asc("feature"))
-    return counts.withColumn("id", F.row_number().over(w) - 1)
+    return two_phase_dense_ids(counts, ["kind"],
+                               [F.desc("cnt"), F.asc("feature")])
 
 
 def collect_vocab_sets(vocab: DataFrame) -> dict[str, set]:

@@ -195,6 +195,55 @@ def test_lstm_gradients_match_finite_differences(spark):
     cands.unpersist()
 
 
+def test_lstm_gradients_with_dropout_masks(spark):
+    """The word-embedding AND hidden-layer dropout masks (tf_lstm.py:192,
+    :221) must be threaded through backward too — fd check with fixed
+    masks applied."""
+    from kgre import lstm_train
+    from kgre.lstm import HIDDEN, PAD_LEN
+
+    cands, dep_vocab, word_vocab, key_order, fwd, rev = _lstm_setup(
+        spark, n_pages=20)
+    t_ids, w_ids, lens, y = lstm_train.collect_lstm_training_set(
+        cands, dep_vocab, word_vocab, key_order, fwd, rev, sample=3)
+    params = lstm_train.init_lstm_params(dep_vocab, word_vocab, key_order,
+                                         seed=3)
+    mrng = np.random.RandomState(7)
+    wmask = (mrng.random_sample((len(lens), PAD_LEN, 1)) < 0.5) / 0.5
+    hmask = (mrng.random_sample((len(lens), HIDDEN)) < 0.5) / 0.5
+    kw = dict(word_drop_mask=wmask, hidden_drop_mask=hmask)
+    _, grads = lstm_train.lstm_loss_and_grads(params, t_ids, w_ids, lens,
+                                              y, **kw)
+    eps = 1e-6
+    for name in ("w1", "b1", "w2", "kernel", "word_emb"):
+        flat = params[name].ravel()
+        gflat = grads[name].ravel()
+        for i in np.argsort(-np.abs(gflat))[:2]:
+            old = flat[i]
+            flat[i] = old + eps
+            lp, _ = lstm_train.lstm_loss_and_grads(params, t_ids, w_ids,
+                                                   lens, y, **kw)
+            flat[i] = old - eps
+            lm, _ = lstm_train.lstm_loss_and_grads(params, t_ids, w_ids,
+                                                   lens, y, **kw)
+            flat[i] = old
+            num = (lp - lm) / (2 * eps)
+            assert abs(num - gflat[i]) < 1e-5 * max(1.0, abs(num)), (
+                name, i, num, gflat[i])
+    cands.unpersist()
+
+
+def test_truncated_normal_init_bounds():
+    # tf.truncated_normal semantics: all samples within 2 std of the mean,
+    # distribution centred near the mean
+    from kgre.lstm_train import truncated_normal
+
+    rng = np.random.RandomState(0)
+    x = truncated_normal(rng, (20000,), mean=-0.1, std=0.1)
+    assert np.abs(x - (-0.1)).max() <= 0.2 + 1e-12
+    assert abs(float(x.mean()) - (-0.1)) < 0.005
+
+
 def test_lstm_training_reduces_loss_and_weights_roundtrip(spark):
     from kgre import lstm, lstm_train
 
@@ -273,4 +322,18 @@ def test_k_fold_cv_runs_and_respects_fold_membership(spark):
     for r in out:
         assert 0.0 <= r["f1"] <= 1.0
         assert r["tp"] >= 0 and r["fp"] >= 0 and r["fn"] >= 0
+    cands.unpersist()
+
+
+def test_k_fold_cv_rejects_too_few_documents(spark):
+    """Fewer distinct urls than k would IndexError partway through the
+    fold loop (pmid_fold_chunks clamps chunk length to 1) — fail fast."""
+    import pytest
+
+    from kgre import cv
+    cands, _, key_order, fwd, rev = _setup(spark, n_pages=2)
+    n_urls = cands.select("url").distinct().count()
+    with pytest.raises(ValueError, match="distinct documents"):
+        cv.k_fold_cv(cands, n_urls + 1, key_order, fwd, rev,
+                     occur_count=2, epochs=1)
     cands.unpersist()

@@ -247,6 +247,41 @@ def test_predict_highlighting_pipe_ner_surface_form(spark):
             == "***VGENE3*** word ***GO2***")
 
 
+def test_predict_highlighting_irregular_whitespace(spark):
+    # start_tok/end_tok index nlp.tokenize()'s str.split() (any whitespace
+    # run, empties dropped); real HTML text has double spaces/tabs — the
+    # highlighter must stay aligned with the tokenizer, not literal-space
+    # positions
+    from kgre.score import highlight_sentences
+
+    df = spark.createDataFrame(
+        [("GENE5  binds\t GO7 ", 1, 3),
+         (" lead GENE1   GO2", 2, 3)],
+        "sent_text string, start_tok int, end_tok int")
+    got = [r["sentence"] for r in highlight_sentences(df).collect()]
+    assert got == ["***GENE5*** binds ***GO7***",
+                   "lead ***GENE1*** ***GO2***"]
+
+
+def test_allowlist_filter_empty_set_drops_all(spark):
+    # empty (non-None) allowlist keeps nothing — same as allowlist_keep —
+    # and must not build an untyped zero-element literal array
+    from kgre.candidates import (allowlist_filter, allowlist_keep,
+                                 candidates_from_sentences)
+
+    toks = [tok(1, "GENE5"), tok(2, "word"), tok(3, "GO7")]
+    sent = spark.createDataFrame(
+        [("u", 0, toks, chain_deps(3))],
+        "url string, sent_id int, tokens array<struct<id:int,word:string,"
+        "lemma:string,pos:string,ner:string,norm_ner:string>>, "
+        "deps array<struct<type:string,gov:int,dep:int>>")
+    cands = candidates_from_sentences(sent, "GENE", "ONTOLOGY", frozenset())
+    assert cands.count() > 0
+    assert allowlist_filter(cands, set(), None).count() == 0
+    assert allowlist_filter(cands, None, set()).count() == 0
+    assert not allowlist_keep({"a"}, {"b"}, set(), None)
+
+
 def test_eval_mention_rows_exact_key_and_phrases():
     # X5 (load_data.py:843-871): exact-NER-key counting, '_'-joined lemma
     # phrase keyed by the first token's norm id
