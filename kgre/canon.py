@@ -66,6 +66,7 @@ def connected_components(edges: DataFrame, max_iters: int = 50,
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
+                F.col("component").alias("old_component"),
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("nbr_component"), F.col("component")),
@@ -77,22 +78,22 @@ def connected_components(edges: DataFrame, max_iters: int = 50,
         # with itself and halves remaining chain lengths each round.
         jump = stepped.select(F.col("node").alias("pj_node"),
                               F.col("component").alias("pj_comp"))
+        final_comp = F.coalesce(F.col("pj_comp"), F.col("component"))
+        # ONE action per round: the `changed` flag rides along in the same
+        # pass (old label threaded through the join), the checkpoint is
+        # lazy, and the count below materializes it — no separate
+        # convergence join+count job
         new_labels = (
             stepped.join(jump, stepped.component == F.col("pj_node"), "left")
             .select(
                 "node",
-                F.coalesce(F.col("pj_comp"), F.col("component"))
-                .alias("component"),
+                final_comp.alias("component"),
+                (final_comp != F.col("old_component")).alias("changed"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("changed")).count()
+        labels = new_labels.drop("changed")
         if changed == 0:
             break
     if stats is not None:

@@ -30,6 +30,9 @@ def get_spark(app: str = "kgre", master: str | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.session.timeZone", "UTC")
+        # concurrent job submission (lineage resume buckets run in a
+        # thread pool) shares executors fairly instead of FIFO-queueing
+        .config("spark.scheduler.mode", "FAIR")
         # Library default stays conservative (8g) so get_spark never
         # over-commits a small host.  In local-mode BENCHMARKS the driver
         # JVM hosts all executor threads and its heap IS the cluster
