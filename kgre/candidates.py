@@ -323,20 +323,30 @@ def allowlist_filter(cands: DataFrame, allow1=None, allow2=None) -> DataFrame:
 
 
 def candidates_from_sentences(sentences: DataFrame, entity_a: str,
-                              entity_b: str, stop_ids) -> DataFrame:
-    """sentences rows -> candidate rows (mapInPandas; stop list is tiny and
-    ships inside the serialized closure — a map-side anti-join)."""
+                              entity_b: str, stop_ids,
+                              allow1=None, allow2=None) -> DataFrame:
+    """sentences rows -> candidate rows (mapInPandas; stop list and
+    optional S5/F3 allowlists are tiny and ship inside the serialized
+    closure — map-side anti/semi joins).  Entry point for pre-parsed
+    corpora (e.g. CoreNLP XML via kgre.corenlp)."""
     stop = frozenset(stop_ids)
+    a1 = frozenset(allow1) if allow1 is not None else None
+    a2 = frozenset(allow2) if allow2 is not None else None
+
+    has_text = "sent_text" in sentences.columns
 
     def run(batches):
         for pdf in batches:
             rows = []
-            for url, sid, toks, deps in zip(
-                pdf["url"], pdf["sent_id"], pdf["tokens"], pdf["deps"]
+            texts = pdf["sent_text"] if has_text else [None] * len(pdf)
+            for url, sid, toks, deps, st in zip(
+                pdf["url"], pdf["sent_id"], pdf["tokens"], pdf["deps"],
+                texts,
             ):
                 rows.extend(
                     sentence_candidates(url, int(sid), toks, deps, entity_a,
-                                        entity_b, stop)
+                                        entity_b, stop, a1, a2,
+                                        sent_text=st)
                 )
             yield rows_to_pdf(rows)
 

@@ -69,12 +69,28 @@ def _allowlists(args):
     return a1, a2
 
 
+def _load_candidates(spark, args, a1, a2):
+    """Candidates frame from either ingest path: --corenlp-xml (S1-compat
+    reader over the reference's real input format, load_data.py:352-396)
+    or the pages path (html extract+parse fused stage)."""
+    if args.corenlp_xml:
+        from kgre.candidates import candidates_from_sentences
+        from kgre.corenlp import read_corenlp_xml
+        sents = read_corenlp_xml(spark, args.corenlp_xml,
+                                 glob=args.pages_glob or "*.txt",
+                                 recursive=args.recursive)
+        return candidates_from_sentences(sents, args.entity_a,
+                                         args.entity_b,
+                                         synthgen.stop_entity_ids(),
+                                         allow1=a1, allow2=a2)
+    return pages_to_candidates(_load_pages(spark, args), args.entity_a,
+                               args.entity_b, synthgen.stop_entity_ids(),
+                               allow1=a1, allow2=a2)
+
+
 def mode_build(spark, args):
-    pages = _load_pages(spark, args)
     a1, a2 = _allowlists(args)
-    cands = pages_to_candidates(pages, args.entity_a, args.entity_b,
-                                synthgen.stop_entity_ids(),
-                                allow1=a1, allow2=a2)
+    cands = _load_candidates(spark, args, a1, a2)
     cands.write.mode("overwrite").parquet(args.out + "/candidates")
     cands = spark.read.parquet(args.out + "/candidates")
     build_vocab(cands, args.occur_count).write.mode("overwrite").parquet(
@@ -84,9 +100,24 @@ def mode_build(spark, args):
 
 
 def mode_score(spark, args):
-    pages = _load_pages(spark, args)
     pipe = _pipe(spark, args)
     a1, a2 = _allowlists(args)
+    if args.corenlp_xml:
+        if args.resume:
+            raise SystemExit(
+                "--resume buckets by page url; not supported with "
+                "--corenlp-xml (run without --resume)")
+        cands = _load_candidates(spark, args, a1, a2)
+        scored, _, key_order = pipe.run_from_candidates(
+            cands, synthgen.kb_rows(), synthgen.ontology_rows(),
+            checkpoint_dir=(args.out + "/candidates") if args.checkpoint
+            else None,
+            emit_threshold=0.5)
+        write_triples(emitted_triples(scored), args.out + "/triples")
+        n = spark.read.parquet(args.out + "/triples").count()
+        print("SCORE ok: emitted=%d rels=%d" % (n, len(key_order)))
+        return
+    pages = _load_pages(spark, args)
     if args.resume:
         # lineage-manifest resume (north_rule): the candidates stage runs
         # per url-hash bucket; a rerun recomputes ONLY buckets missing
@@ -237,6 +268,10 @@ def main(argv=None):
     p.add_argument("--recursive", action="store_true",
                    help="recursiveFileLookup for --pages (S2 directory walk)")
     p.add_argument("--documents", help="parquet file of driver documents")
+    p.add_argument("--corenlp-xml", default=None,
+                   help="directory of Stanford-CoreNLP XML .txt files "
+                        "(the reference's real input format) — S1-compat "
+                        "ingest bypassing the html extract/parse stage")
     p.add_argument("--synth", type=int, default=200,
                    help="generate N synthetic pages when no input given")
     p.add_argument("--out", default="/tmp/kgre_cli_out")

@@ -134,11 +134,23 @@ class KgPipeline:
 
         ``emit_threshold=0.5`` pushes the emitted-triple gate into the
         scoring UDF (TEST mode); leave None to keep every row (predict)."""
-        fwd, rev, key_order = self.prepare_kb(kb_rows_list, onto_rows)
         if repartition:
             pages = pages.repartition(repartition, "url")
         cands = pages_to_candidates(pages, self.entity_a, self.entity_b,
                                     stop_ids, allow1=allow1, allow2=allow2)
+        return self.run_from_candidates(
+            cands, kb_rows_list, onto_rows, checkpoint_dir=checkpoint_dir,
+            with_sentence=with_sentence, emit_threshold=emit_threshold)
+
+    def run_from_candidates(self, cands: DataFrame, kb_rows_list, onto_rows,
+                            checkpoint_dir: str | None = None,
+                            with_sentence: bool = False,
+                            emit_threshold: float | None = None):
+        """candidates -> (scored triples DF, vocab DF, key_order) — the
+        vocab + scoring tail of ``run``, exposed so pre-parsed corpora
+        (CoreNLP XML via kgre.corenlp -> candidates_from_sentences) enter
+        the same plan after the ingest stage."""
+        fwd, rev, key_order = self.prepare_kb(kb_rows_list, onto_rows)
         if checkpoint_dir:
             # materialized stage boundary (reference: per-file TFRecord
             # shards, load_data.py:640-662) — vocab agg and scoring both
