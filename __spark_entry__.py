@@ -362,8 +362,13 @@ def _q_winnow_fingerprint(spark, sf_dir):
 
 
 def _q_ann_ivf_topk(spark, sf_dir):
-    return similarity.ivf_topk(_embs(spark, sf_dir), query_id=0, k=10,
-                               n_cells=16, n_probe=4)
+    """IVF with a TRAINED codebook (spherical k-means on a bounded
+    deterministic sample, VERDICT r2 #7); the oracle inlines the same
+    deterministic centroids as SQL literals."""
+    embs = _embs(spark, sf_dir)
+    cb = similarity.train_ivf_codebook(embs, n_cells=16)
+    return similarity.ivf_topk(embs, query_id=0, k=10, n_cells=16,
+                               n_probe=4, codebook=cb)
 
 
 def _q_quality_score(spark, sf_dir):
@@ -540,6 +545,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LSTM scoring path (M3/M5; rows-only, non-SQL)
         "q_lstm_scoring": _q_lstm_scoring,
     }
+
+
+_IVF_CENT_SQL_CACHE: dict[str, str] = {}
+
+
+def _ivf_codebook_sql() -> str:
+    """Literal centroid VALUES table for the q_ann_ivf_topk oracle.
+
+    The Spark query trains a deterministic spherical-k-means codebook
+    (kgre.similarity.train_ivf_codebook: head sample by vec_id, numpy
+    float64 Lloyd); DuckDB cannot run k-means, so the oracle computes
+    the SAME codebook here — identical inputs (float32 parquet values
+    upcast to float64) through the same numpy function give bit-equal
+    centroids — and inlines it.  Bound to the driver's correctness-gate
+    scale (sf0.01), exactly like the goldens mechanism above."""
+    key = "sf0.01"
+    if key not in _IVF_CENT_SQL_CACHE:
+        import duckdb
+        import numpy as np
+
+        from kgre.similarity import kmeans_codebook
+        rows = duckdb.sql(
+            "SELECT embedding FROM "
+            "read_parquet('/root/testdata/sf0.01/embeddings.parquet') "
+            "ORDER BY vec_id LIMIT 4096").fetchall()
+        X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+        cent = kmeans_codebook(X, n_cells=16)
+        vals = ", ".join(
+            "(%d, [%s]::DOUBLE[])" % (
+                c, ", ".join(repr(float(x)) for x in cent[c]))
+            for c in range(cent.shape[0]))
+        _IVF_CENT_SQL_CACHE[key] = f"(VALUES {vals}) AS t(cell, emb)"
+    return _IVF_CENT_SQL_CACHE[key]
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1004,10 +1042,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*)::BIGINT AS n_fps, min(fp) AS min_fp
             FROM d GROUP BY doc_id
         """,
-        "q_ann_ivf_topk": """
+        "q_ann_ivf_topk": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
                        FROM embeddings),
-            cent AS (SELECT vec_id AS cell, emb FROM e WHERE vec_id < 16),
+            cent AS (SELECT * FROM {_ivf_codebook_sql()}),
             q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
             probe AS (SELECT cell FROM cent, q
                       ORDER BY list_dot_product(cent.emb, q.qe)

@@ -173,20 +173,60 @@ def cosine_neardup_bucketed(embs: DataFrame, threshold: float = 0.9,
     )
 
 
-def ivf_cells(embs: DataFrame, n_cells: int = 16) -> DataFrame:
-    """(vec_id, cell): IVF coarse quantization.  Centroids are the first
-    ``n_cells`` vectors by vec_id (a deterministic, training-free
-    quantizer — a k-means-trained codebook would slot into the same
-    broadcast without changing the dataflow); each vector is assigned to
+def kmeans_codebook(X: np.ndarray, n_cells: int,
+                    n_iters: int = 5) -> np.ndarray:
+    """Spherical k-means on row vectors: normalize, assign to max-cosine
+    centroid (ties -> lowest cell), recompute means, renormalize.
+    Deterministic: init = the first ``n_cells`` sample rows; an emptied
+    cell keeps its previous centroid.  Returns a normalized
+    [n_cells, dim] float64 matrix."""
+    X = np.asarray(X, dtype=np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cent = X[:n_cells].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(X @ cent.T, axis=1)
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    return cent
+
+
+def train_ivf_codebook(embs: DataFrame, n_cells: int = 16,
+                       n_iters: int = 5, sample: int = 4096) -> np.ndarray:
+    """FAISS-style IVF training: Lloyd iterations DRIVER-SIDE on a
+    bounded sample (the first ``sample`` vectors by vec_id — a
+    deterministic head sample; at production scale swap in a hash-range
+    sample without touching the dataflow), broadcast back through the
+    same ``ivf_cells``/``ivf_topk`` interface as the training-free
+    quantizer.  The collect is bounded by ``sample`` regardless of
+    corpus size."""
+    rows = (embs.select("vec_id", "embedding").orderBy("vec_id")
+            .limit(int(sample)).collect())
+    X = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in rows])
+    return kmeans_codebook(X, n_cells, n_iters)
+
+
+def ivf_cells(embs: DataFrame, n_cells: int = 16,
+              codebook: np.ndarray | None = None) -> DataFrame:
+    """(vec_id, cell): IVF coarse quantization.  ``codebook`` is a
+    normalized [n_cells, dim] centroid matrix (train_ivf_codebook);
+    when None, centroids default to the first ``n_cells`` vectors by
+    vec_id (the training-free fallback).  Each vector is assigned to
     its max-cosine centroid (ties: lowest cell id, unreachable with real
     embeddings).  One Arrow-vectorized pass over a broadcast [n_cells,
     dim] matrix — map-only, no shuffle."""
     spark = embs.sparkSession
-    cent = (embs.filter(F.col("vec_id") < n_cells)
-            .orderBy("vec_id").collect())
-    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64)
-                    for r in cent])
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    if codebook is not None:
+        mat = np.asarray(codebook, dtype=np.float64)
+    else:
+        cent = (embs.filter(F.col("vec_id") < n_cells)
+                .orderBy("vec_id").collect())
+        mat = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                        for r in cent])
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     b_c = spark.sparkContext.broadcast(mat)
 
     def run(batches):
@@ -206,27 +246,39 @@ def ivf_cells(embs: DataFrame, n_cells: int = 16) -> DataFrame:
 
 
 def ivf_topk(embs: DataFrame, query_id: int, k: int = 10,
-             n_cells: int = 16, n_probe: int = 4) -> DataFrame:
+             n_cells: int = 16, n_probe: int = 4,
+             codebook: np.ndarray | None = None) -> DataFrame:
     """IVF approximate top-k: exact cosine rerank within the query's
     ``n_probe`` closest cells.  The scale path's shape: the inverted file
     restricts the scan to n_probe/n_cells of the corpus; candidate
     filtering is a broadcast semi-join on cell id (no shuffle of the
-    corpus)."""
-    cells = ivf_cells(embs, n_cells)
-    q = embs.filter(F.col("vec_id") == query_id).select(
-        F.col("embedding").alias("q_emb"))
-    cent = embs.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell"), "embedding")
-    probe = (
-        cent.crossJoin(F.broadcast(q))
-        .select("cell",
-                (_dot(F.col("embedding"), F.col("q_emb"))
-                 / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))))
-                .alias("sim"))
-        .orderBy(F.desc("sim"), F.asc("cell")).limit(n_probe)
-        .select("cell")
-    )
-    in_cells = cells.join(F.broadcast(probe), "cell").select("vec_id")
+    corpus).  With a trained ``codebook`` the probe set is computed
+    driver-side against the tiny centroid matrix (no extra Spark job)."""
+    cells = ivf_cells(embs, n_cells, codebook)
+    if codebook is not None:
+        qv = np.asarray(
+            embs.filter(F.col("vec_id") == query_id)
+            .select("embedding").first()[0], dtype=np.float64)
+        sims = np.asarray(codebook, dtype=np.float64) @ (
+            qv / np.linalg.norm(qv))
+        order = np.argsort(-sims, kind="stable")[:n_probe]  # ties: low cell
+        in_cells = (cells.filter(
+            F.col("cell").isin([int(c) for c in order])).select("vec_id"))
+    else:
+        q = embs.filter(F.col("vec_id") == query_id).select(
+            F.col("embedding").alias("q_emb"))
+        cent = embs.filter(F.col("vec_id") < n_cells).select(
+            F.col("vec_id").alias("cell"), "embedding")
+        probe = (
+            cent.crossJoin(F.broadcast(q))
+            .select("cell",
+                    (_dot(F.col("embedding"), F.col("q_emb"))
+                     / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))))
+                    .alias("sim"))
+            .orderBy(F.desc("sim"), F.asc("cell")).limit(n_probe)
+            .select("cell")
+        )
+        in_cells = cells.join(F.broadcast(probe), "cell").select("vec_id")
     cand = embs.join(in_cells, "vec_id")
     return cosine_topk(cand, query_id, k)
 

@@ -320,6 +320,33 @@ def test_ivf_topk_recall_against_brute_force(spark):
     assert cells.select("vec_id").distinct().count() == 80
 
 
+def test_ivf_trained_codebook_recall_beats_untrained(spark):
+    """VERDICT r2 #7: the k-means codebook must discover the clusters
+    even when the first-N vectors don't span them (vec_ids laid out
+    cluster-by-cluster, so the training-free quantizer's 8 centroids all
+    sit in cluster 0); recall >= the untrained quantizer's and near
+    perfect."""
+    import numpy as np
+    rng = np.random.RandomState(5)
+    base = rng.randn(8, 16) * 3
+    rows = []
+    for c in range(8):             # sequential: ids 0..9 cluster 0, ...
+        for member in range(10):
+            v = base[c] + rng.randn(16) * 0.05
+            rows.append((c * 10 + member, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {r["vec_id"] for r in similarity.cosine_topk(df, 0, 5).collect()}
+    untrained = {r["vec_id"] for r in similarity.ivf_topk(
+        df, 0, 5, n_cells=8, n_probe=2).collect()}
+    cb = similarity.train_ivf_codebook(df, n_cells=8, sample=80)
+    assert cb.shape == (8, 16)
+    np.testing.assert_allclose(np.linalg.norm(cb, axis=1), 1.0, rtol=1e-9)
+    trained = {r["vec_id"] for r in similarity.ivf_topk(
+        df, 0, 5, n_cells=8, n_probe=2, codebook=cb).collect()}
+    assert len(exact & trained) >= len(exact & untrained)
+    assert len(exact & trained) >= 4
+
+
 def test_winnow_fingerprints_overlap_behavior(spark):
     """Winnowing: identical docs share ALL fingerprints; a doc with one
     edit shares most; an unrelated doc shares few."""
