@@ -19,14 +19,13 @@ inside a ``mapInPandas`` stage over broadcast weights:
   * dense 100 -> sigmoid multi-label (tf_lstm.py:214-229); triple emitted
     at prob > 0.5.
 
-The reference ships no trained weights, so weights are a frozen
+The reference ships no trained weights, so default weights are a frozen
 deterministic function of (layer, shape key) — identical in the Spark
 engine and the single-process oracle (tests/test_lstm.py checks the
 batched forward against the per-instance oracle loop bit-for-bit within
-float tolerance).  Word embeddings stand in for the word2vec .bin loader
-(S8, tf_lstm.py:13-48): same UNKNOWN (random) / PADDING (zeros) tail
-convention, gated import — a real PubMed-w2v.bin would drop in as a
-{word: row} table broadcast the same way (M6).
+float tolerance).  A real word2vec .bin drops in via kgre.w2v
+(S8/M6, tf_lstm.py:13-48: same UNKNOWN/PADDING tail convention), and
+trained weights via kgre.lstm_train's string-keyed weight table.
 """
 
 from __future__ import annotations
