@@ -128,6 +128,20 @@ def _q_vocab_topk(spark, sf_dir):
     return ranked.orderBy("id").select("word", "cnt", "id")
 
 
+def _q_dense_rank(spark, sf_dir):
+    """Skew-proof two-phase dense ranking as a first-class query
+    (VERDICT r2 #6): per-source word ranks by (count desc, word asc)
+    with NO per-group single-task window — semantics == row_number()."""
+    from kgre.vocab import two_phase_dense_ids
+    tok = _docs(spark, sf_dir).select(
+        "source", F.explode(F.split("text", " ")).alias("word"))
+    counts = (tok.groupBy("source", "word")
+              .agg(F.count("*").alias("cnt")).filter(F.col("cnt") >= 20))
+    ranked = two_phase_dense_ids(
+        counts, ["source"], [F.desc("cnt"), F.asc("word")], id_col="rank")
+    return ranked.select("source", "word", "cnt", "rank")
+
+
 def _q_entity_distribution(spark, sf_dir):
     return (_docs(spark, sf_dir).groupBy("source")
             .agg(F.count("*").alias("n_docs"))
@@ -490,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_triple_parity": _q_triple_parity,
         # aggregations / sorts (A1, A3, O1-O3)
         "q_vocab_topk": _q_vocab_topk,
+        "q_dense_rank": _q_dense_rank,
         "q_entity_distribution": _q_entity_distribution,
         "q_topk_users": _q_topk_users,
         # joins (J1, J3, J5) + filters (F1)
@@ -614,6 +629,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT word, cnt,
                    row_number() OVER (ORDER BY cnt DESC, word) - 1 AS id
             FROM c ORDER BY id LIMIT 100
+        """,
+        "q_dense_rank": """
+            WITH t AS (SELECT source,
+                              unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+            c AS (SELECT source, word, count(*) AS cnt FROM t
+                  GROUP BY source, word HAVING count(*) >= 20)
+            SELECT source, word, cnt,
+                   (row_number() OVER (PARTITION BY source
+                      ORDER BY cnt DESC, word) - 1)::INTEGER AS rank
+            FROM c
         """,
         "q_entity_distribution": """
             SELECT source, count(*) AS n_docs FROM documents

@@ -66,21 +66,22 @@ def collect_lstm_training_set(candidates: DataFrame, dep_vocab, word_vocab,
         sample,
     ).select("is_reverse", "pair_e1_ids", "pair_e2_ids", "sdp_types",
              "sdp_words")
-    rows = inst.collect()
-    n = len(rows)
+    # Arrow-path collect (toPandas) — see train.collect_training_set
+    pdf = inst.toPandas()
+    n = len(pdf)
     t_ids = np.empty((n, PAD_LEN), dtype=np.int64)
     w_ids = np.empty((n, PAD_LEN), dtype=np.int64)
     lens = np.empty(n, dtype=np.int64)
     y = np.zeros((n, len(key_order)))
-    for r, row in enumerate(rows):
-        ti, wi, lt, lw = encode_instance(list(row["sdp_types"]),
-                                         list(row["sdp_words"]),
+    for r in range(n):
+        ti, wi, lt, lw = encode_instance(list(pdf["sdp_types"].iat[r]),
+                                         list(pdf["sdp_words"].iat[r]),
                                          dep_vocab, word_vocab)
         t_ids[r], w_ids[r], lens[r] = ti, wi, lt + lw
-        combos = set(itertools.product(row["pair_e1_ids"],
-                                       row["pair_e2_ids"]))
+        combos = set(itertools.product(pdf["pair_e1_ids"].iat[r],
+                                       pdf["pair_e2_ids"].iat[r]))
         fwd_l, rev_l = label_instance(combos, key_order, fwd_kb, rev_kb)
-        y[r] = rev_l if row["is_reverse"] else fwd_l
+        y[r] = rev_l if pdf["is_reverse"].iat[r] else fwd_l
     return t_ids, w_ids, lens, y
 
 

@@ -98,27 +98,31 @@ def collect_training_set(candidates: DataFrame, vocabs: dict[str, set],
     ).select("is_reverse", "pair_e1_ids", "pair_e2_ids",
              "dep_path_string", "sdp_words", "sdp_elements",
              "between_words")
-    rows = inst.collect()
+    # Arrow-path collect (toPandas): row-at-a-time collect() pickles each
+    # Row object — seconds slower at the 100k sample cap
+    pdf = inst.toPandas()
+    n = len(pdf)
     hits: list[list[int]] = []
-    y = np.zeros((len(rows), len(key_order)))
-    for r, row in enumerate(rows):
+    y = np.zeros((n, len(key_order)))
+    cols = {"dep_word": "sdp_words", "element": "sdp_elements",
+            "between": "between_words"}
+    feats = {k: pdf[c] for k, c in cols.items()}
+    for r in range(n):
         h = []
-        i = idx["dep_path"].get(row["dep_path_string"])
+        i = idx["dep_path"].get(pdf["dep_path_string"].iat[r])
         if i is not None:
             h.append(i)
-        for kind, col in (("dep_word", "sdp_words"),
-                          ("element", "sdp_elements"),
-                          ("between", "between_words")):
+        for kind in cols:
             d = idx[kind]
-            for f in set(row[col]):
+            for f in set(feats[kind].iat[r]):
                 j = d.get(f)
                 if j is not None:
                     h.append(j)
         hits.append(h)
-        combos = set(itertools.product(row["pair_e1_ids"],
-                                       row["pair_e2_ids"]))
+        combos = set(itertools.product(pdf["pair_e1_ids"].iat[r],
+                                       pdf["pair_e2_ids"].iat[r]))
         fwd_l, rev_l = label_instance(combos, key_order, fwd_kb, rev_kb)
-        y[r] = rev_l if row["is_reverse"] else fwd_l
+        y[r] = rev_l if pdf["is_reverse"].iat[r] else fwd_l
     return idx, hits, y
 
 
