@@ -17,13 +17,16 @@ implements the protocol it intended, working:
   * per-relation F1 against the distant labels per epoch/fold
     (tf_feed_forward.py:235-240 semantics) comes back as a DataFrame.
 
-Spark shape: the candidates table is computed ONCE and persisted; each
-fold is a pair of url-membership filters over it (broadcast literal
-list), one vocab aggregation over the training side, a driver-side fit
-(kgre/train.py — deliberately off the hot path) and one distributed
-scoring pass over the held-out side.  At corpus scale prefer the J5
-hash-fold split (``pmod(xxhash64(url), k)``) — list-chunk folds exist
-for reference parity.
+Spark shape: the candidates table is computed ONCE and persisted; fold
+membership is a DISTRIBUTED chunk assignment (``fold_assignment``: a
+two-phase dense rank over the distinct urls — the url list is never
+collected to the driver, VERDICT r3 #2) joined onto the candidates once;
+each fold is then a pair of chunk filters, one vocab aggregation over
+the training side, a driver-side fit (kgre/train.py — deliberately off
+the hot path) and one distributed scoring pass over the held-out side.
+At corpus scale prefer the J5 hash-fold split
+(``pmod(xxhash64(url), k)``) — list-chunk folds exist for reference
+parity.
 """
 
 from __future__ import annotations
@@ -43,6 +46,27 @@ def pmid_fold_chunks(pmids: list, k: int) -> list[list]:
     n = len(pmids)
     length = max(1, n // k)
     return [pmids[i:i + length] for i in range(0, n, length)]
+
+
+def fold_assignment(candidates: DataFrame, k: int) -> DataFrame:
+    """(url, chunk): the reference's contiguous url-ordered chunks of
+    length ``n // k`` (cross_validation.py:14-16) computed DISTRIBUTED —
+    a two-phase dense rank over the distinct urls plus
+    ``chunk = rank // (n // k)``; the url list never reaches the driver
+    (only a count and the two-phase rank's per-cell counts do).  Chunks
+    ``>= k`` are the reference's remainder quirk: never a test fold,
+    always train."""
+    from kgre.vocab import two_phase_dense_ids
+
+    urls = candidates.select("url").distinct()
+    n = urls.count()
+    if n < k:
+        raise ValueError(
+            f"k_fold_cv: need at least k={k} distinct documents, got {n}")
+    length = max(1, n // k)
+    ranked = two_phase_dense_ids(urls, [], [F.asc("url")], id_col="_uid")
+    return ranked.select(
+        "url", F.floor(F.col("_uid") / length).cast("int").alias("chunk"))
 
 
 def fold_f1(scored: DataFrame, fold: int) -> DataFrame:
@@ -70,20 +94,14 @@ def k_fold_cv(candidates: DataFrame, k: int, key_order, fwd_kb, rev_kb,
 
     ``candidates`` should be persisted by the caller (each fold filters
     it twice)."""
-    spark = candidates.sparkSession
-    pmids = [r["url"] for r in
-             candidates.select("url").distinct().orderBy("url").collect()]
-    if len(pmids) < k:
-        raise ValueError(
-            f"k_fold_cv: need at least k={k} distinct documents, "
-            f"got {len(pmids)}")
-    chunks = pmid_fold_chunks(pmids, k)
+    # distributed fold membership: chunk map joined on url (Spark/AQE
+    # broadcasts it when small; at corpus scale it's a plain equi-join —
+    # either way no url list is ever collected to the driver)
+    chunked = candidates.join(fold_assignment(candidates, k), "url")
     results = None
     for fold in range(k):
-        test_set = set(chunks[fold])
-        is_test = F.col("url").isin(sorted(test_set))
-        train_c = candidates.filter(~is_test)
-        test_c = candidates.filter(is_test)
+        train_c = chunked.filter(F.col("chunk") != fold).drop("chunk")
+        test_c = chunked.filter(F.col("chunk") == fold).drop("chunk")
         # per-fold dictionaries from TRAINING sentences only
         vocabs = collect_vocab_sets(build_vocab(train_c, occur_count))
         wt, _ = train_mod.train_model(train_c, vocabs, key_order, fwd_kb,

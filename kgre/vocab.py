@@ -64,12 +64,22 @@ def two_phase_dense_ids(df: DataFrame, partition_cols, order_cols,
     tiny).  (2) a window partitioned by PHYSICAL partition id + group
     (never a single-partition WindowExec) numbers rows locally and adds
     the broadcast offset.  ``order_cols`` must be a total order within a
-    group for deterministic ids.  Range boundaries are deterministic for
-    deterministic input (RangePartitioner samples with per-partition
-    fixed seeds), so the count job and the output plan agree; the
-    repartitioned frame is persisted so phase 2 reuses phase 1's shuffle.
+    group for deterministic ids.
+
+    The range-shuffled frame is materialized ONCE with an eager
+    ``localCheckpoint`` — the phase-1 count job and the phase-2 window
+    both read the stored blocks.  (A ``persist`` here leaked: the
+    CacheManager entry outlived the call, accumulating across CV folds
+    and warning "Asked to cache already cached data" on every bench
+    re-run — ADVICE r3.  Checkpoint blocks are instead released by the
+    ContextCleaner once the returned frame is garbage-collected, and
+    materializing eagerly also means the range boundaries are sampled
+    exactly once, so the count job and the output plan agree by
+    construction.)  Cluster-scale caveat: localCheckpoint blocks are not
+    recomputable after executor loss; a deployment with executor churn
+    should ``sc.setCheckpointDir`` and swap ``.checkpoint()`` in here.
     """
-    from pyspark import StorageLevel
+    from pyspark.sql import types as T
 
     spark = df.sparkSession
     if num_parts is None:
@@ -78,23 +88,33 @@ def two_phase_dense_ids(df: DataFrame, partition_cols, order_cols,
     sort_exprs = [F.col(c) for c in gcols] + list(order_cols)
     parted = (df.repartitionByRange(num_parts, *sort_exprs)
               .withColumn("_pid", F.spark_partition_id())
-              .persist(StorageLevel.MEMORY_AND_DISK))
+              .localCheckpoint(eager=True))
     cnt_rows = (parted.groupBy("_pid", *gcols)
                 .agg(F.count("*").alias("_n")).collect())
     if not cnt_rows:
-        return df.withColumn(id_col, F.lit(0))
+        # long to match the non-empty path (row_number int + _off long)
+        return df.withColumn(id_col, F.lit(0).cast("long"))
     totals: dict = {}
     offs = []
     for r in sorted(cnt_rows, key=lambda r: r["_pid"]):
         key = tuple(r[c] for c in gcols)
         offs.append(tuple([r["_pid"]] + list(key) + [totals.get(key, 0)]))
         totals[key] = totals.get(key, 0) + r["_n"]
-    off_df = spark.createDataFrame(
-        offs, ["_pid"] + gcols + ["_off"])
+    off_schema = T.StructType(
+        [T.StructField("_opid", T.IntegerType())]
+        + [T.StructField("_og_" + c, df.schema[c].dataType) for c in gcols]
+        + [T.StructField("_off", T.LongType())])
+    off_df = spark.createDataFrame(offs, off_schema)
     w = Window.partitionBy("_pid", *gcols).orderBy(*order_cols)
-    return (parted.join(F.broadcast(off_df), ["_pid"] + gcols)
+    # null-safe group-key join: row_number() OVER (PARTITION BY g) ranks
+    # the NULL group too, so a plain inner join would silently drop
+    # null-keyed rows (ADVICE r3)
+    cond = parted["_pid"] == off_df["_opid"]
+    for c in gcols:
+        cond = cond & parted[c].eqNullSafe(off_df["_og_" + c])
+    return (parted.join(F.broadcast(off_df), cond)
             .withColumn(id_col, F.row_number().over(w) - 1 + F.col("_off"))
-            .drop("_pid", "_off"))
+            .drop("_pid", "_opid", "_off", *["_og_" + c for c in gcols]))
 
 
 def build_vocab(candidates: DataFrame, occur_count: int) -> DataFrame:

@@ -451,6 +451,43 @@ def test_two_phase_dense_ids_matches_window(spark):
                                [F.desc("cnt"), F.asc("feature")],
                                num_parts=2)
     assert sorted(r["id"] for r in flat.collect()) == list(range(40))
-    # empty input
+    # empty input — and the id column keeps the non-empty path's LongType
+    # so schema-sensitive unions/writes don't fork on emptiness (ADVICE r3)
     e = spark.createDataFrame([], "kind string, feature string, cnt int")
-    assert two_phase_dense_ids(e, ["kind"], [F.desc("cnt")]).count() == 0
+    empty_out = two_phase_dense_ids(e, ["kind"], [F.desc("cnt")])
+    assert empty_out.count() == 0
+    assert empty_out.schema["id"].dataType.typeName() == "long"
+    nonempty_out = two_phase_dense_ids(
+        df.limit(5), ["kind"], [F.desc("cnt"), F.asc("feature")], num_parts=2)
+    assert nonempty_out.schema["id"].dataType.typeName() == "long"
+
+
+def test_two_phase_dense_ids_null_group_and_no_cache(spark):
+    """ADVICE r3: NULL group keys rank as their own group (row_number
+    OVER PARTITION BY semantics), and the helper leaves nothing in the
+    CacheManager (the old persist leaked across CV folds / bench passes)."""
+    from pyspark.sql import functions as F
+
+    from kgre.vocab import two_phase_dense_ids
+
+    rows = [(None if i % 4 == 0 else "k%d" % (i % 2), "f%04d" % i)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "kind string, feature string")
+    spark.catalog.clearCache()   # isolate the CacheManager assertion below
+    out = two_phase_dense_ids(df, ["kind"], [F.asc("feature")], num_parts=3)
+    got: dict = {}
+    for r in out.collect():
+        got.setdefault(r["kind"], []).append((r["id"], r["feature"]))
+    # every group — including the NULL group — gets contiguous 0..n-1 ids
+    # in feature order
+    assert set(got) == {None, "k0", "k1"}
+    for kind, pairs in got.items():
+        pairs.sort()
+        assert [p[0] for p in pairs] == list(range(len(pairs)))
+        assert [p[1] for p in pairs] == sorted(p[1] for p in pairs)
+    assert len(got[None]) == 50
+    # no CacheManager residue: re-running the identical call must not
+    # find (or re-register) a cached plan
+    assert spark.catalog._jcatalog.isCached is not None  # api guard
+    jcache = spark._jsparkSession.sharedState().cacheManager()
+    assert jcache.isEmpty(), "two_phase_dense_ids left a cached plan"
