@@ -885,8 +885,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(inter * 1.0 / (s1.s + s2.s - inter), 4) >= 0.6
         """,
         "q_minhash_lsh": """
-            WITH dd AS (SELECT doc_id, string_split(text, ' ') AS l
-                        FROM documents WHERE doc_id < 200),
+            WITH reps AS (SELECT min(doc_id) AS doc_id FROM documents
+                          WHERE doc_id < 200 GROUP BY md5(text)),
+            dd AS (SELECT d.doc_id, string_split(d.text, ' ') AS l
+                   FROM documents d JOIN reps USING (doc_id)),
             idx AS (SELECT doc_id, l, unnest(range(1, len(l) - 1)) AS i FROM dd),
             sh AS (SELECT DISTINCT doc_id,
                           l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
@@ -925,9 +927,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(inter * 1.0 / (s1.s + s2.s - inter), 4) >= 0.3
         """,
         "q_simhash_neardups": """
-            WITH toks AS (SELECT DISTINCT doc_id,
-                                 unnest(string_split(text, ' ')) AS t
-                          FROM documents WHERE doc_id < 200),
+            WITH reps AS (SELECT min(doc_id) AS doc_id FROM documents
+                          WHERE doc_id < 200 GROUP BY md5(text)),
+            toks AS (SELECT DISTINCT d.doc_id,
+                            unnest(string_split(d.text, ' ')) AS t
+                     FROM documents d JOIN reps USING (doc_id)),
             h AS (SELECT doc_id,
                          ('0x' || substring(md5(t), 1, 16))::UBIGINT AS hv
                   FROM toks),
