@@ -569,22 +569,32 @@ def _ivf_codebook_sql() -> str:
     """Literal centroid VALUES table for the q_ann_ivf_topk oracle.
 
     The Spark query trains a deterministic spherical-k-means codebook
-    (kgre.similarity.train_ivf_codebook: head sample by vec_id, numpy
-    float64 Lloyd); DuckDB cannot run k-means, so the oracle computes
-    the SAME codebook here — identical inputs (float32 parquet values
-    upcast to float64) through the same numpy function give bit-equal
-    centroids — and inlines it.  Bound to the driver's correctness-gate
-    scale (sf0.01), exactly like the goldens mechanism above."""
+    (kgre.similarity.train_ivf_codebook: md5 hash-range sample in hash
+    order, numpy float64 Lloyd); DuckDB cannot run k-means, so the
+    oracle computes the SAME codebook here — the identical sample (the
+    shared ``grow_cutoff`` protocol over the same 24-bit md5(vec_id)
+    prefix, float32 parquet values upcast to float64) through the same
+    numpy function gives bit-equal centroids — and inlines it.  Bound to
+    the driver's correctness-gate scale (sf0.01), exactly like the
+    goldens mechanism above."""
     key = "sf0.01"
     if key not in _IVF_CENT_SQL_CACHE:
         import duckdb
         import numpy as np
 
-        from kgre.similarity import kmeans_codebook
+        from kgre.similarity import grow_cutoff, kmeans_codebook
+        pq = "read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
+        hx = "('0x' || substring(md5(vec_id::VARCHAR), 1, 6))::BIGINT"
+        total = duckdb.sql(f"SELECT count(*) FROM {pq}").fetchall()[0][0]
+        cutoff = grow_cutoff(
+            total, 4096,
+            lambda c: duckdb.sql(
+                f"SELECT count(*) FROM {pq} WHERE {hx} < {c}"
+            ).fetchall()[0][0])
+        where = f"WHERE {hx} < {cutoff}" if cutoff < (1 << 24) else ""
         rows = duckdb.sql(
-            "SELECT embedding FROM "
-            "read_parquet('/root/testdata/sf0.01/embeddings.parquet') "
-            "ORDER BY vec_id LIMIT 4096").fetchall()
+            f"SELECT embedding FROM {pq} {where} "
+            f"ORDER BY {hx}, vec_id LIMIT 4096").fetchall()
         X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
         cent = kmeans_codebook(X, n_cells=16)
         vals = ", ".join(

@@ -193,17 +193,56 @@ def kmeans_codebook(X: np.ndarray, n_cells: int,
     return cent
 
 
+def grow_cutoff(total: int, sample: int, count_at, bits: int = 24,
+                oversample: float = 1.3, max_iters: int = 4) -> int:
+    """Shared cutoff-growth protocol (the ``kgre.train.hash_range_sample``
+    shape): size a ``bits``-bit hash cutoff from a cheap count, double it
+    until >= ``sample`` rows survive.  ``count_at(cutoff) -> int`` is the
+    engine hook — both the Spark sampler and the DuckDB oracle twin call
+    this same function, so the selected subset is identical by
+    construction."""
+    if total <= sample:
+        return 1 << bits
+    cutoff = int((1 << bits) * sample * oversample / total) + 1
+    for _ in range(max_iters):
+        if cutoff >= (1 << bits) or count_at(cutoff) >= sample:
+            break
+        cutoff *= 2
+    return cutoff
+
+
+def hash_range_sample_embs(embs: DataFrame, sample: int) -> DataFrame:
+    """Deterministic ~``sample``-row subset of (vec_id, embedding) in
+    hash order, WITHOUT ranking the full table: a map-side filter on a
+    24-bit md5(vec_id) prefix keeps ~1.3x sample rows, then the bounded
+    top-k orders by (hash, vec_id).  Same filter-then-bounded-top-k
+    shape as ``kgre.train.hash_range_sample`` (VERDICT r3 #5), but keyed
+    on md5 instead of xxhash64 so the DuckDB oracle can reproduce the
+    EXACT subset (xxhash64 has no DuckDB twin).  Hash order also makes
+    the head of the sample a pseudorandom draw — what a k-means init
+    wants, where a head-by-vec_id sample was the corpus' first insert
+    batch."""
+    h = (F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 6),
+                16, 10).cast("long"))
+    sub = embs.select("vec_id", "embedding").withColumn("_h", h)
+    total = embs.count()
+    cutoff = grow_cutoff(
+        total, sample,
+        lambda c: sub.filter(F.col("_h") < c).count())
+    if cutoff < (1 << 24):
+        sub = sub.filter(F.col("_h") < cutoff)
+    return sub.orderBy("_h", "vec_id").limit(int(sample)).drop("_h")
+
+
 def train_ivf_codebook(embs: DataFrame, n_cells: int = 16,
                        n_iters: int = 5, sample: int = 4096) -> np.ndarray:
     """FAISS-style IVF training: Lloyd iterations DRIVER-SIDE on a
-    bounded sample (the first ``sample`` vectors by vec_id — a
-    deterministic head sample; at production scale swap in a hash-range
-    sample without touching the dataflow), broadcast back through the
-    same ``ivf_cells``/``ivf_topk`` interface as the training-free
-    quantizer.  The collect is bounded by ``sample`` regardless of
-    corpus size."""
-    rows = (embs.select("vec_id", "embedding").orderBy("vec_id")
-            .limit(int(sample)).collect())
+    bounded deterministic hash-range sample (``hash_range_sample_embs``
+    — the corpus only flows through a map-side filter, never a full
+    sort), broadcast back through the same ``ivf_cells``/``ivf_topk``
+    interface as the training-free quantizer.  The collect is bounded by
+    ``sample`` regardless of corpus size."""
+    rows = hash_range_sample_embs(embs, int(sample)).collect()
     X = np.stack([np.asarray(r["embedding"], dtype=np.float64)
                   for r in rows])
     return kmeans_codebook(X, n_cells, n_iters)
