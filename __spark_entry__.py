@@ -485,6 +485,55 @@ def _q_lstm_scoring(spark, sf_dir):
                          F.round("prob", 6).alias("prob"))
 
 
+def _q_stream_dedup(spark, sf_dir):
+    """§2.12 streaming as an oracle-checked query (VERDICT r3 #6): the
+    custom stateful operator ``dedup_page_stream`` (applyInPandasWithState
+    keyed by content fingerprint) runs over a two-micro-batch file source
+    and must emit each fingerprint's FIRST page only, ever.
+
+    Determinism vs the batch oracle: urls zero-pad the doc_id, so url
+    order == doc_id order, and the batch split is a doc_id threshold —
+    therefore the first batch containing a fingerprint also contains its
+    min url, and the survivor set equals DuckDB's min(url)-per-fp
+    regardless of how the files land in micro-batches.  File mtimes are
+    staggered anyway so the file source replays them in order."""
+    import os
+    import shutil
+
+    from kgre.streaming import dedup_page_stream, read_page_stream
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = f"/tmp/kgre_stream_dedup_{tag}"
+    in_dir, out_dir, ck = base + "/in", base + "/out", base + "/ck"
+    for d in (base,):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(in_dir, exist_ok=True)
+    docs = _docs(spark, sf_dir)
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://docs.example/d"),
+                 F.lpad(F.col("doc_id").cast("string"), 8, "0")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode("text", "UTF-8").alias("html"),
+        F.col("text"), F.col("lang"))
+    for i, part in enumerate([pages.filter(F.col("doc_id") <= mid),
+                              pages.filter(F.col("doc_id") > mid)]):
+        stage = f"{base}/stage{i}"
+        part.drop("doc_id").coalesce(1).write.mode("overwrite").parquet(stage)
+        src = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = f"{in_dir}/b{i}.parquet"
+        shutil.move(f"{stage}/{src}", dst)
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    stream = read_page_stream(spark, in_dir, max_files_per_trigger=1)
+    q = (dedup_page_stream(stream).select("fp", "url")
+         .writeStream.format("parquet")
+         .option("path", out_dir).option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select("fp", "url")
+
+
 def _q_entity_linking(spark, sf_dir):
     parts = _t(spark, sf_dir, "part")
     dictionary = parts.select(F.col("p_partkey").alias("entity_id"),
@@ -557,6 +606,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_frame_features": _q_frame_features,
         # entity linking (north-star)
         "q_entity_linking": _q_entity_linking,
+        # streaming (§2.12): stateful cross-batch dedup
+        "q_stream_dedup": _q_stream_dedup,
         # LSTM scoring path (M3/M5; rows-only, non-SQL)
         "q_lstm_scoring": _q_lstm_scoring,
     }
@@ -1144,6 +1195,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(translate(lower(text), '{_PUNCT_SQL}', '')) AS fp
             FROM documents
+        """,
+        # first-occurrence-per-fingerprint: what the stateful stream must
+        # converge to regardless of micro-batch boundaries (see
+        # _q_stream_dedup's determinism note)
+        "q_stream_dedup": f"""
+            WITH p AS (
+              SELECT 'https://docs.example/d' || lpad(doc_id::VARCHAR, 8, '0')
+                       AS url,
+                     md5(translate(lower(text), '{_PUNCT_SQL}', '')) AS fp
+              FROM documents)
+            SELECT fp, min(url) AS url FROM p GROUP BY fp
         """,
         "q_frame_sample": """
             WITH v AS (
