@@ -19,6 +19,10 @@ Modes:
              (reference PREDICT, relation_extraction.py:539-562, S14)
   eval-data  entity distribution sinks (reference EVAL_DATA,
              relation_extraction.py:217-250, S15)
+  clean      training-data-pipeline recipe: exact dedup -> near-dup
+             collapse -> quality/lang filters -> KG pipeline with
+             lineage-manifest resume (no reference counterpart; the
+             composition of the engine's dedup/textstats operators)
 
 Input pages: --pages <parquet dir> with columns
 (url, warc_ts, html, text, lang), or --synth N for the deterministic
@@ -69,17 +73,24 @@ def _allowlists(args):
     return a1, a2
 
 
+def _load_sentences(spark, args):
+    """--corenlp-xml sentences frame (S1-compat reader over the
+    reference's real input format, load_data.py:352-396)."""
+    from kgre.corenlp import read_corenlp_xml
+    return read_corenlp_xml(spark, args.corenlp_xml,
+                            glob=args.pages_glob or "*.txt",
+                            recursive=args.recursive)
+
+
 def _load_candidates(spark, args, a1, a2):
-    """Candidates frame from either ingest path: --corenlp-xml (S1-compat
-    reader over the reference's real input format, load_data.py:352-396)
-    or the pages path (html extract+parse fused stage)."""
+    """Candidates frame from either ingest path: --corenlp-xml or the
+    pages path (html extract+parse fused stage).  Every mode that
+    consumes candidates routes through here, so the XML ingest is never
+    silently ignored (ADVICE r3)."""
     if args.corenlp_xml:
         from kgre.candidates import candidates_from_sentences
-        from kgre.corenlp import read_corenlp_xml
-        sents = read_corenlp_xml(spark, args.corenlp_xml,
-                                 glob=args.pages_glob or "*.txt",
-                                 recursive=args.recursive)
-        return candidates_from_sentences(sents, args.entity_a,
+        return candidates_from_sentences(_load_sentences(spark, args),
+                                         args.entity_a,
                                          args.entity_b,
                                          synthgen.stop_entity_ids(),
                                          allow1=a1, allow2=a2)
@@ -157,13 +168,19 @@ def mode_score(spark, args):
 def mode_predict(spark, args):
     from kgre.score import highlight_sentences
 
-    pages = _load_pages(spark, args)
     pipe = _pipe(spark, args)
     a1, a2 = _allowlists(args)
-    scored, _, _ = pipe.run(pages, synthgen.kb_rows(),
-                            synthgen.ontology_rows(),
-                            synthgen.stop_entity_ids(),
-                            allow1=a1, allow2=a2, with_sentence=True)
+    if args.corenlp_xml:
+        # XML sentences carry sent_text, so the highlight sink works
+        # identically off the pre-parsed path
+        scored, _, _ = pipe.run_from_candidates(
+            _load_candidates(spark, args, a1, a2), synthgen.kb_rows(),
+            synthgen.ontology_rows(), with_sentence=True)
+    else:
+        scored, _, _ = pipe.run(_load_pages(spark, args), synthgen.kb_rows(),
+                                synthgen.ontology_rows(),
+                                synthgen.stop_entity_ids(),
+                                allow1=a1, allow2=a2, with_sentence=True)
     # rich sink S14: all pairs with probabilities, no 0.5 gate; label is
     # -1 in predict mode (build_instances_predict, load_data.py:336-338),
     # and each row carries the ***entity***-highlighted sentence in the
@@ -182,11 +199,9 @@ def mode_predict(spark, args):
 
 
 def mode_eval_data(spark, args):
-    from kgre.pipeline import pages_to_mentions
+    from kgre.pipeline import pages_to_mentions, sentences_to_mentions
 
-    pages = _load_pages(spark, args)
-    cands = pages_to_candidates(pages, args.entity_a, args.entity_b,
-                                synthgen.stop_entity_ids())
+    cands = _load_candidates(spark, args, None, None)
     # S15 (relation_extraction.py:217-250): per-side entity occurrence
     # distribution, count ascending
     for side in ("subj", "obj"):
@@ -196,7 +211,12 @@ def mode_eval_data(spark, args):
     # X5 (load_data.py:828-871): mention-level norm|lemma-phrase
     # distribution; entity types are EXACT NER keys here (the reference
     # dict-membership test), e.g. HUMAN_GENE, not the GENE substring
-    mentions = pages_to_mentions(pages, args.eval_ner_a, args.eval_ner_b)
+    if args.corenlp_xml:
+        mentions = sentences_to_mentions(_load_sentences(spark, args),
+                                         args.eval_ner_a, args.eval_ner_b)
+    else:
+        mentions = pages_to_mentions(_load_pages(spark, args),
+                                     args.eval_ner_a, args.eval_ner_b)
     (mentions.groupBy("side", "entity_key").agg(F.count("*").alias("cnt"))
      .orderBy("cnt", "entity_key")
      .write.mode("overwrite").parquet(f"{args.out}/dist_phrases"))
@@ -209,9 +229,7 @@ def mode_train(spark, args):
     from kgre import train
     from kgre.vocab import collect_vocab_sets
 
-    pages = _load_pages(spark, args)
-    cands = pages_to_candidates(pages, args.entity_a, args.entity_b,
-                                synthgen.stop_entity_ids()).persist()
+    cands = _load_candidates(spark, args, None, None).persist()
     vocab_df = build_vocab(cands, args.occur_count)
     vocab_df.write.mode("overwrite").parquet(args.out + "/vocab")
     vocabs = collect_vocab_sets(vocab_df)
@@ -233,11 +251,8 @@ def mode_train_lstm(spark, args):
     fit -> weights table keyed by feature/relation string."""
     from kgre import lstm, lstm_train
 
-    pages = _load_pages(spark, args)
     a1, a2 = _allowlists(args)
-    cands = pages_to_candidates(pages, args.entity_a, args.entity_b,
-                                synthgen.stop_entity_ids(),
-                                allow1=a1, allow2=a2).persist()
+    cands = _load_candidates(spark, args, a1, a2).persist()
     # bounded distributed vocab build — no unbounded driver collect
     dep_vocab, word_vocab = lstm.lstm_vocab_features(
         cands, max_words=args.lstm_max_words)
@@ -253,9 +268,107 @@ def mode_train_lstm(spark, args):
     print("TRAIN_LSTM ok: loss %.4f -> %.4f" % (losses[0], losses[-1]))
 
 
+def mode_clean(spark, args):
+    """End-to-end "clean corpus" recipe (VERDICT r3 #8): exact dedup ->
+    near-dup collapse (LSH pairs -> connected components, keep the
+    component min) -> quality/language filters -> KG pipeline with
+    lineage-manifest resume.  Every stage is an individually-tested
+    operator; this mode is the documented composition so a user doesn't
+    wire them by hand.
+
+    Input: --documents parquet (doc_id, text, lang).  Output under --out:
+      clean_docs/       surviving documents
+      clean_manifest/   per-stage (stage, rows_in, rows_out, wall_ms)
+      candidates/ + manifest/   lineage-bucketed candidates stage
+                        (re-running resumes from completed buckets)
+      triples/          emitted triples partitioned by rel
+    """
+    import time
+
+    from kgre import dedup, textstats
+    from kgre.canon import connected_components
+    from kgre.lineage import run_stage_with_resume
+    from kgre.score import score_candidates
+    from kgre.vocab import collect_vocab_sets
+
+    if args.corenlp_xml:
+        raise SystemExit("clean mode operates on --documents; "
+                         "--corenlp-xml is not supported here")
+    if not args.documents:
+        raise SystemExit("clean mode requires --documents <parquet>")
+    docs = spark.read.parquet(args.documents).persist()
+    stages = []
+
+    def note(stage, rows_in, rows_out, t0):
+        stages.append((stage, rows_in, rows_out,
+                       int((time.time() - t0) * 1000)))
+
+    n0 = docs.count()
+    # 1. exact dedup: keep the min doc_id per identical raw text
+    t0 = time.time()
+    reps = dedup.collapse_exact_docs(docs).persist()
+    n1 = reps.count()
+    note("exact_dedup", n0, n1, t0)
+    # 2. near-dup collapse: LSH pairs over the exact survivors, connected
+    # components over the pair graph, keep each component's min doc_id
+    # (zero-padded string ids so the CC lexicographic min == numeric min)
+    t0 = time.time()
+    pairs = dedup.minhash_near_dups(reps, threshold=args.neardup_threshold,
+                                    collapse_exact=False)
+
+    def pad(c):
+        return F.lpad(F.col(c).cast("string"), 12, "0")
+
+    comp = connected_components(
+        pairs.select(pad("d1").alias("src"), pad("d2").alias("dst")))
+    drop = (comp.filter(F.col("node") != F.col("component"))
+            .select(F.col("node").cast("bigint").alias("doc_id")))
+    deduped = reps.join(drop, "doc_id", "left_anti").persist()
+    n2 = deduped.count()
+    note("near_dedup", n1, n2, t0)
+    # 3. quality + language filters (pure-Catalyst textstats operators)
+    t0 = time.time()
+    clean = (
+        deduped
+        .join(textstats.quality_score(deduped).select("doc_id", "quality"),
+              "doc_id")
+        .join(textstats.lang_id(deduped, threshold=args.lang_threshold)
+              .select("doc_id", "lang_pred"), "doc_id")
+        .filter((F.col("quality") >= args.min_quality)
+                & (F.col("lang_pred") == "en"))
+        .drop("quality", "lang_pred"))
+    clean.write.mode("overwrite").parquet(args.out + "/clean_docs")
+    clean = spark.read.parquet(args.out + "/clean_docs")
+    n3 = clean.count()
+    note("quality_lang", n2, n3, t0)
+    spark.createDataFrame(
+        stages, "stage string, rows_in long, rows_out long, wall_ms long"
+    ).write.mode("overwrite").parquet(args.out + "/clean_manifest")
+    # 4. KG pipeline over the cleaned corpus, candidates stage bucketed
+    # through the lineage manifest (crash-safe resume)
+    pipe = _pipe(spark, args)
+    fwd, rev, key_order = pipe.prepare_kb(synthgen.kb_rows(),
+                                          synthgen.ontology_rows())
+    stop = synthgen.stop_entity_ids()
+    pages = webtext.pages_from_documents(clean)
+    cands = run_stage_with_resume(
+        spark, pages, "candidates",
+        lambda part: pages_to_candidates(part, args.entity_a, args.entity_b,
+                                         stop, min_partitions=0),
+        args.out + "/candidates", args.out + "/manifest",
+        n_buckets=args.buckets)
+    vocabs = collect_vocab_sets(build_vocab(cands, args.occur_count))
+    scored = score_candidates(cands, vocabs, key_order, fwd, rev,
+                              emit_threshold=0.5)
+    write_triples(emitted_triples(scored), args.out + "/triples")
+    n_triples = spark.read.parquet(args.out + "/triples").count()
+    print("CLEAN ok: docs %d -> exact %d -> neardup %d -> quality %d; "
+          "triples=%d" % (n0, n1, n2, n3, n_triples))
+
+
 MODES = {"build": mode_build, "score": mode_score, "predict": mode_predict,
          "eval-data": mode_eval_data, "train": mode_train,
-         "train-lstm": mode_train_lstm}
+         "train-lstm": mode_train_lstm, "clean": mode_clean}
 
 
 def main(argv=None):
@@ -299,6 +412,15 @@ def main(argv=None):
                         "a lineage manifest; reruns skip completed buckets")
     p.add_argument("--buckets", type=int, default=8,
                    help="lineage bucket count for --resume")
+    p.add_argument("--neardup-threshold", type=float, default=0.6,
+                   help="clean mode: MinHash-LSH Jaccard threshold for the "
+                        "near-dup collapse")
+    p.add_argument("--min-quality", type=float, default=0.1,
+                   help="clean mode: minimum textstats composite quality "
+                        "score (stopword/vowel ratio blend)")
+    p.add_argument("--lang-threshold", type=float, default=0.08,
+                   help="clean mode: language-ID stopword-density cutoff "
+                        "for keeping a doc as English")
     p.add_argument("--checkpoint", action="store_true",
                    help="materialize the candidates stage to parquet "
                         "(the reference's TFRecord boundary)")

@@ -107,6 +107,30 @@ def pages_to_mentions(pages: DataFrame, entity_a: str, entity_b: str,
     return slim.mapInPandas(run, schema=MENTIONS_SCHEMA)
 
 
+def sentences_to_mentions(sentences: DataFrame, entity_a: str,
+                          entity_b: str) -> DataFrame:
+    """EVAL_DATA mention rows from pre-parsed sentences (the CoreNLP-XML
+    ingest path of ``pages_to_mentions`` — same ``sentence_mention_rows``
+    core, no extract/parse stage)."""
+    from kgre.candidates import sentence_mention_rows
+
+    def run(batches):
+        cols = ("url", "side", "entity_key")
+        for pdf in batches:
+            rows = []
+            for url, toks in zip(pdf["url"], pdf["tokens"]):
+                rows.extend(sentence_mention_rows(url, toks,
+                                                  entity_a, entity_b))
+            if rows:
+                yield pd.DataFrame({c: [r[c] for r in rows] for c in cols})
+            else:
+                yield pd.DataFrame({c: pd.Series([], dtype=object)
+                                    for c in cols})
+
+    return sentences.select("url", "tokens").mapInPandas(
+        run, schema=MENTIONS_SCHEMA)
+
+
 class KgPipeline:
     """Orchestrates the flagship job. KB/ontology/stop inputs are
     dictionary-sized DataFrames; corpus inputs are arbitrarily large."""

@@ -140,3 +140,42 @@ def test_cli_pages_glob_and_recursive(spark, tmp_path, monkeypatch):
     a_urls = {r["url"] for r in spark.read.parquet(str(root / "a"))
               .select("url").collect()}
     assert urls <= a_urls and urls
+
+
+def test_cli_clean_corpus_recipe(spark, tmp_path, monkeypatch):
+    """VERDICT r3 #8: the documented exact-dedup -> near-dup -> quality/
+    lang -> pipeline composition as one CLI mode, with per-stage clean
+    manifest rows and lineage rows for the candidates stage."""
+    base = spark.read.parquet("/root/testdata/sf0.01/documents.parquet") \
+        .select("doc_id", "text", "lang").filter("doc_id < 60")
+    first = base.orderBy("doc_id").first()
+    extra = spark.createDataFrame(
+        [(1000, first["text"], "en"),             # exact dup of doc 0...
+         (1001, first["text"], "en"),             # ...twice
+         (1002, first["text"] + " extraword", "en"),   # near dup of doc 0
+         (1003, "zzz qqq xyzzy frob nix grue blorp zork quux gnip", "en")],
+        "doc_id long, text string, lang string")  # no EN stopwords -> drop
+    docs_dir = str(tmp_path / "docs")
+    base.union(extra).write.parquet(docs_dir)
+    out = str(tmp_path / "clean_out")
+    _run(spark, monkeypatch, "clean", out,
+         extra=("--documents", docs_dir, "--min-quality", "0.0",
+                "--lang-threshold", "0.02", "--buckets", "4"))
+    kept = {r["doc_id"]
+            for r in spark.read.parquet(out + "/clean_docs").collect()}
+    # exact dups 1000/1001 collapse into doc 0; the near dup 1002 falls to
+    # the CC component min; the stopword-free doc 1003 fails language ID
+    assert 0 in kept
+    assert kept.isdisjoint({1000, 1001, 1002, 1003})
+    man = {r["stage"]: (r["rows_in"], r["rows_out"])
+           for r in spark.read.parquet(out + "/clean_manifest").collect()}
+    assert set(man) == {"exact_dedup", "near_dedup", "quality_lang"}
+    assert man["exact_dedup"] == (64, 62)       # 1000/1001 collapsed
+    assert man["near_dedup"][1] <= 61           # 1002 (at least) collapsed
+    # 53 of the 60 base docs clear the 0.02 stopword-density cutoff; the
+    # stopword-free 1003 never does
+    assert man["quality_lang"][1] == 53
+    # lineage rows for the bucketed candidates stage
+    lin = spark.read.parquet(out + "/manifest")
+    assert lin.filter("status = 'ok'").count() == 4
+    assert spark.read.parquet(out + "/triples").count() > 0

@@ -158,3 +158,48 @@ def test_cli_corenlp_xml_matches_pages_path(spark, tmp_path, monkeypatch):
     b = sorted(map(tuple, spark.read.parquet(out_xml + "/triples")
                    .select(*cols).collect()))
     assert a == b and a
+
+
+def test_cli_corenlp_xml_routes_all_modes(spark, tmp_path, monkeypatch):
+    """ADVICE r3: predict / train / train-lstm / eval-data must consume
+    --corenlp-xml instead of silently falling back to synthetic pages
+    (predict output equals the pages path; the others run end-to-end on
+    the XML corpus); clean rejects it loudly."""
+    import pytest
+
+    from kgre import cli
+
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    xml_dir = tmp_path / "xml"
+    xml_dir.mkdir()
+    for i, (url, rows) in enumerate(sorted(_stub_sentences(40).items())):
+        (xml_dir / f"d{i}.txt").write_bytes(rows_to_corenlp_xml(url, rows))
+
+    out_p = str(tmp_path / "pred_pages")
+    cli.main(["predict", "--synth", "40", "--occur-count", "2",
+              "--out", out_p])
+    out_x = str(tmp_path / "pred_xml")
+    cli.main(["predict", "--corenlp-xml", str(xml_dir), "--occur-count", "2",
+              "--out", out_x])
+    cols = ["url", "sent_id", "pair_idx", "subj", "obj", "rel", "prob",
+            "sentence"]
+    a = sorted(map(tuple, spark.read.parquet(out_p + "/predictions")
+                   .select(*cols).collect()))
+    b = sorted(map(tuple, spark.read.parquet(out_x + "/predictions")
+                   .select(*cols).collect()))
+    assert a == b and a
+
+    out_t = str(tmp_path / "train_xml")
+    cli.main(["train", "--corenlp-xml", str(xml_dir), "--occur-count", "2",
+              "--epochs", "2", "--out", out_t])
+    assert spark.read.parquet(out_t + "/weights").count() > 0
+
+    out_e = str(tmp_path / "eval_xml")
+    cli.main(["eval-data", "--corenlp-xml", str(xml_dir), "--out", out_e])
+    assert spark.read.parquet(out_e + "/dist_subj").count() > 0
+    assert spark.read.parquet(out_e + "/dist_phrases").count() > 0
+
+    with pytest.raises(SystemExit, match="clean mode"):
+        cli.main(["clean", "--corenlp-xml", str(xml_dir),
+                  "--out", str(tmp_path / "never")])
