@@ -67,15 +67,19 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _min_of_passes(spark, qs, names, sf_dir, passes: int = 2) -> dict:
-    timings: dict[str, float] = {}
+def _min_of_passes(spark, qs, names, sf_dir,
+                   passes: int = 2) -> tuple[dict, dict]:
+    """Returns (min-per-query, all-passes-per-query).  The min is the
+    headline (heap-preheat protocol, BENCH/BASELINE.md); the raw passes
+    ride along in the JSON so variance-shaped regressions stay visible
+    (ADVICE r3)."""
+    all_passes: dict[str, list] = {n: [] for n in names}
     for _ in range(passes):
         for name in names:
             t0 = time.perf_counter()
             _force(qs[name](spark, sf_dir))
-            w = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, w), w)
-    return timings
+            all_passes[name].append(round(time.perf_counter() - t0, 3))
+    return {n: min(w) for n, w in all_passes.items()}, all_passes
 
 
 def run_bench() -> None:
@@ -95,7 +99,7 @@ def run_bench() -> None:
     # REST metrics: runTime 2114s vs cpuTime 66s on one such stage) — by
     # the second pass the heap is at max footprint, which is the steady
     # state of a long-running cluster job.
-    timings = _min_of_passes(spark, qs, BENCH_QUERIES, sf_dir)
+    timings, all_passes = _min_of_passes(spark, qs, BENCH_QUERIES, sf_dir)
     total = round(sum(timings.values()), 3)
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -106,6 +110,7 @@ def run_bench() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "passes": all_passes,
         "sf": sf,
         "agg": "min-of-2",
     }))
@@ -175,14 +180,114 @@ def run_big_docs() -> None:
     qs = entry_mod.queries()
     _force(qs["q_kg_candidates"](spark, big))   # warm python workers
     # two full passes, min per query — see run_bench for why
-    timings = _min_of_passes(spark, qs, DOC_BENCH_QUERIES, big)
+    timings, all_passes = _min_of_passes(spark, qs, DOC_BENCH_QUERIES, big)
     print(json.dumps({
         "metric": "kgre_bigdocs_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "passes": all_passes,
         "sf": f"{os.path.basename(sf_dir.rstrip('/'))}x{factor}",
         "n_docs": spark.read.parquet(big + "/documents.parquet").count(),
+        "agg": "min-of-2",
+    }))
+    spark.stop()
+
+
+# bump when the XML serialization or page derivation changes
+CORENLP_FIXTURE_V = "v1"
+
+
+def _materialize_corenlp_fixture(n_docs: int) -> str:
+    """Write ~``n_docs`` CoreNLP-XML .txt files (one per en page of the
+    deterministic generator corpus) plus the same pages as parquet, so
+    the two ingest paths read comparable on-disk inputs.  INPUT DATA,
+    generated once and reused."""
+    import pandas as pd
+
+    from kgre import synthgen
+
+    out = f"/tmp/kgre_corenlp_fixture_{CORENLP_FIXTURE_V}_{n_docs}"
+    if (os.path.exists(out + "/xml/_DONE")
+            and os.path.exists(out + "/pages.parquet/_SUCCESS")):
+        return out
+    spark = get_spark("kgre-corenlp-gen", master="local[32]",
+                      shuffle_partitions=32)
+    pages = synthgen.pages_df(spark, n_docs).filter("lang = 'en'")
+    pages.write.mode("overwrite").parquet(out + "/pages.parquet")
+
+    def run(batches):
+        from kgre import nlp
+        from kgre.corenlp import sentence_rows_to_xml
+        from kgre.extract import extract_text_from_html
+        for pdf in batches:
+            urls, blobs = [], []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                text = extract_text_from_html(html)
+                rows = [{"url": url, "sent_id": s["sent_id"],
+                         "tokens": s["tokens"], "deps": s["deps"]}
+                        for s in nlp.parse_text(text)]
+                urls.append(url)
+                blobs.append(sentence_rows_to_xml(rows))
+            yield pd.DataFrame({"url": urls, "xml": blobs})
+
+    rows = (spark.read.parquet(out + "/pages.parquet")
+            .select("url", "html")
+            .mapInPandas(run, schema="url string, xml binary").collect())
+    os.makedirs(out + "/xml", exist_ok=True)
+    for i, r in enumerate(sorted(rows, key=lambda r: r["url"])):
+        with open(f"{out}/xml/d{i}.txt", "wb") as f:
+            f.write(bytes(r["xml"]))
+    with open(out + "/xml/_DONE", "w") as f:
+        f.write("ok")
+    spark.stop()
+    return out
+
+
+def run_corenlp() -> None:
+    """Time the CoreNLP-XML ingest (binaryFile scan + one mapInPandas XML
+    parse -> candidates) against the native pages path (html extract +
+    parse -> candidates) over the SAME corpus — both paths yield the
+    same sentences, so the wall ratio IS the per-sentence ratio."""
+    from kgre import synthgen
+    from kgre.corenlp import read_corenlp_candidates, read_corenlp_xml
+    from kgre.pipeline import pages_to_candidates
+
+    n = int(os.environ.get("SPARK_GRAFT_CORENLP_DOCS", "5000"))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    fix = _materialize_corenlp_fixture(n)
+    spark = get_spark("kgre-bench-corenlp", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    stop = synthgen.stop_entity_ids()
+
+    def xml_job():
+        return read_corenlp_candidates(spark, fix + "/xml",
+                                       "GENE", "ONTOLOGY", stop)
+
+    def pages_job():
+        pages = spark.read.parquet(fix + "/pages.parquet")
+        return pages_to_candidates(pages, "GENE", "ONTOLOGY", stop)
+
+    n_sents = read_corenlp_xml(spark, fix + "/xml").count()
+    _force(xml_job())
+    _force(pages_job())   # warm python workers + heap on both paths
+    t = {}
+    for name, job in (("corenlp_xml", xml_job), ("pages_html", pages_job)):
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(job())
+            w = time.perf_counter() - t0
+            best = w if best is None else min(best, w)
+        t[name] = round(best, 3)
+    print(json.dumps({
+        "metric": "kgre_corenlp_ingest",
+        "value": t["corenlp_xml"],
+        "unit": "sec",
+        "queries": t,
+        "n_docs": n,
+        "n_sents": n_sents,
+        "xml_vs_pages_ratio": round(t["corenlp_xml"] / t["pages_html"], 3),
         "agg": "min-of-2",
     }))
     spark.stop()
@@ -312,5 +417,7 @@ if __name__ == "__main__":
         run_scaling()
     elif "--big-docs" in sys.argv:
         run_big_docs()
+    elif "--corenlp" in sys.argv:
+        run_corenlp()
     else:
         run_bench()

@@ -88,12 +88,14 @@ def _load_candidates(spark, args, a1, a2):
     consumes candidates routes through here, so the XML ingest is never
     silently ignored (ADVICE r3)."""
     if args.corenlp_xml:
-        from kgre.candidates import candidates_from_sentences
-        return candidates_from_sentences(_load_sentences(spark, args),
-                                         args.entity_a,
-                                         args.entity_b,
-                                         synthgen.stop_entity_ids(),
-                                         allow1=a1, allow2=a2)
+        # fused binaryFile scan -> parse+candidates (one Python crossing)
+        from kgre.corenlp import read_corenlp_candidates
+        return read_corenlp_candidates(spark, args.corenlp_xml,
+                                       args.entity_a, args.entity_b,
+                                       synthgen.stop_entity_ids(),
+                                       glob=args.pages_glob or "*.txt",
+                                       recursive=args.recursive,
+                                       allow1=a1, allow2=a2)
     return pages_to_candidates(_load_pages(spark, args), args.entity_a,
                                args.entity_b, synthgen.stop_entity_ids(),
                                allow1=a1, allow2=a2)

@@ -93,6 +93,35 @@ def sentences_from_corenlp_xml(content: bytes | str) -> list[dict]:
     return rows
 
 
+def sentence_rows_to_xml(rows: list[dict]) -> bytes:
+    """Serialize sentence rows (the reader's output shape) back to the
+    CoreNLP XML layout ``sentences_from_corenlp_xml`` consumes — the
+    export/fixture/bench inverse.  (The pytest fixture writer in
+    tests/test_corenlp.py stays independent of this function so
+    roundtrip tests can't cancel a shared bug.)"""
+    root = ET.Element("root")
+    doc = ET.SubElement(root, "document")
+    sents = ET.SubElement(doc, "sentences")
+    for r in rows:
+        s = ET.SubElement(sents, "sentence", id=str(r["sent_id"]))
+        ET.SubElement(s, "PMID").text = r["url"]
+        toks = ET.SubElement(s, "tokens")
+        for t in r["tokens"]:
+            te = ET.SubElement(toks, "token", id=str(t["id"]))
+            ET.SubElement(te, "word").text = t["word"]
+            ET.SubElement(te, "lemma").text = t["lemma"]
+            ET.SubElement(te, "POS").text = t["pos"]
+            ET.SubElement(te, "NER").text = t["ner"]
+            if t.get("norm_ner") is not None:
+                ET.SubElement(te, "NormalizedNER").text = t["norm_ner"]
+        deps = ET.SubElement(s, "dependencies", type="basic-dependencies")
+        for d in r["deps"]:
+            de = ET.SubElement(deps, "dep", type=d["type"])
+            ET.SubElement(de, "governor", idx=str(d["gov"]))
+            ET.SubElement(de, "dependent", idx=str(d["dep"]))
+    return ET.tostring(root)
+
+
 def corenlp_xml_to_sentences(files: DataFrame) -> DataFrame:
     """(path, content) file rows -> sentences rows (one mapInPandas)."""
 
@@ -111,6 +140,13 @@ def corenlp_xml_to_sentences(files: DataFrame) -> DataFrame:
     return files.select("content").mapInPandas(run, schema=SENTENCES_SCHEMA)
 
 
+def _binary_reader(spark: SparkSession, glob: str, recursive: bool):
+    reader = spark.read.format("binaryFile").option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader
+
+
 def read_corenlp_xml(spark: SparkSession, path: str, glob: str = "*.txt",
                      recursive: bool = False) -> DataFrame:
     """Directory of CoreNLP-XML ``.txt`` files -> sentences DataFrame.
@@ -119,7 +155,50 @@ def read_corenlp_xml(spark: SparkSession, path: str, glob: str = "*.txt",
     (``pathGlobFilter``/``recursiveFileLookup``), before any bytes move —
     the reference's ``os.walk`` + ``endswith('.txt')``
     (load_data.py:457-475) pushed into the scan."""
-    reader = spark.read.format("binaryFile").option("pathGlobFilter", glob)
-    if recursive:
-        reader = reader.option("recursiveFileLookup", "true")
-    return corenlp_xml_to_sentences(reader.load(path))
+    return corenlp_xml_to_sentences(
+        _binary_reader(spark, glob, recursive).load(path))
+
+
+def corenlp_files_to_candidates(files: DataFrame, entity_a: str,
+                                entity_b: str, stop_ids,
+                                allow1=None, allow2=None) -> DataFrame:
+    """FUSED XML parse + candidate generation — the CoreNLP twin of
+    ``pipeline.pages_to_candidates``: one Python crossing for the whole
+    per-file path.  Chaining ``corenlp_xml_to_sentences`` into
+    ``candidates_from_sentences`` instead costs a second mapInPandas
+    stage whose (tokens, deps) array-of-struct rows round-trip through
+    Arrow — measured 2.4x the pages path on a 5k-doc corpus, vs ~1.2x
+    fused.  The composable sentence reader stays for sentence-level
+    consumers (eval-data mentions, ad-hoc analysis)."""
+    from kgre.candidates import (CANDIDATES_SCHEMA, rows_to_pdf,
+                                 sentence_candidates)
+
+    stop = frozenset(stop_ids)
+    a1 = frozenset(allow1) if allow1 is not None else None
+    a2 = frozenset(allow2) if allow2 is not None else None
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                for s in sentences_from_corenlp_xml(content):
+                    rows.extend(
+                        sentence_candidates(
+                            s["url"], s["sent_id"], s["tokens"], s["deps"],
+                            entity_a, entity_b, stop, a1, a2,
+                            sent_text=s["sent_text"],
+                        )
+                    )
+            yield rows_to_pdf(rows)
+
+    return files.select("content").mapInPandas(run, schema=CANDIDATES_SCHEMA)
+
+
+def read_corenlp_candidates(spark: SparkSession, path: str, entity_a: str,
+                            entity_b: str, stop_ids, glob: str = "*.txt",
+                            recursive: bool = False,
+                            allow1=None, allow2=None) -> DataFrame:
+    """binaryFile scan -> fused parse+candidates (the CLI ingest path)."""
+    return corenlp_files_to_candidates(
+        _binary_reader(spark, glob, recursive).load(path),
+        entity_a, entity_b, stop_ids, allow1=allow1, allow2=allow2)

@@ -203,3 +203,17 @@ def test_cli_corenlp_xml_routes_all_modes(spark, tmp_path, monkeypatch):
     with pytest.raises(SystemExit, match="clean mode"):
         cli.main(["clean", "--corenlp-xml", str(xml_dir),
                   "--out", str(tmp_path / "never")])
+
+
+def test_sentence_rows_to_xml_roundtrip():
+    """The engine-side XML writer (export/bench inverse) must roundtrip
+    through the reader; the pytest writer above stays the independent
+    format spec."""
+    from kgre.corenlp import sentence_rows_to_xml
+
+    for url, rows in sorted(_stub_sentences(8).items()):
+        want = [dict(r, sent_text=" ".join(t["word"] for t in r["tokens"]))
+                for r in rows]
+        got = sentences_from_corenlp_xml(
+            sentence_rows_to_xml(rows))
+        assert got == want
