@@ -12,6 +12,18 @@ Links free-text mention phrases to a canonical entity dictionary:
      broadcast; blocking keeps the candidate set ~linear in mentions
   4. verify with true 3-gram Jaccard, keep the best alias per mention
      (deterministic tie-break: jaccard desc, entity_id asc)
+
+Web-scale guards (same family as kgre.dedup's r4 hot-bucket guards):
+  * phrase collapse: a web corpus repeats the same surface form by the
+    million, and the link result is a pure function of the phrase — so
+    the pipeline links each DISTINCT phrase once and joins the verdict
+    back onto the mention stream (``collapse_phrases``, default on;
+    output is row-for-row identical to the uncollapsed path).
+  * dictionary hot-bucket cap: a band bucket holding thousands of
+    aliases (shared prefixes hashing alike) multiplies every mention
+    that lands in it; buckets wider than ``max_bucket`` are excluded
+    from blocking (recall lost only where blocking was already
+    near-cartesian), counted via the optional ``stats`` dict.
 """
 
 from __future__ import annotations
@@ -62,14 +74,33 @@ def _minhash_bands(sh: DataFrame, n_hashes: int, bands: int) -> DataFrame:
 
 def link_mentions(mentions: DataFrame, dictionary: DataFrame,
                   threshold: float = 0.5, n: int = 3,
-                  n_hashes: int = 6, bands: int = 3) -> DataFrame:
+                  n_hashes: int = 6, bands: int = 3,
+                  collapse_phrases: bool = True,
+                  max_bucket: int | None = 10_000,
+                  stats: dict | None = None) -> DataFrame:
     """mentions(mention_id, phrase) x dictionary(entity_id, alias) ->
     (mention_id, entity_id, jaccard): best dictionary alias per mention,
-    minhash-blocked then exact-verified."""
+    minhash-blocked then exact-verified.  See module docstring for the
+    ``collapse_phrases`` / ``max_bucket`` web-scale guards."""
+    if collapse_phrases:
+        # link each distinct surface form once (the phrase is its own
+        # id through the inner pipeline), then join the verdict back
+        forms = mentions.select(
+            F.col("phrase").alias("mention_id"), "phrase").distinct()
+        linked = link_mentions(forms, dictionary, threshold, n, n_hashes,
+                               bands, collapse_phrases=False,
+                               max_bucket=max_bucket, stats=stats)
+        return (mentions
+                .join(linked.withColumnRenamed("mention_id", "phrase"),
+                      "phrase")
+                .select("mention_id", "entity_id", "jaccard"))
     m_sh = phrase_shingles(mentions, "phrase", "mention_id", n)
     d_sh = phrase_shingles(dictionary, "alias", "entity_id", n)
     m_bands = _minhash_bands(m_sh, n_hashes, bands).withColumnRenamed("id", "mid")
     d_bands = _minhash_bands(d_sh, n_hashes, bands).withColumnRenamed("id", "eid")
+    if max_bucket is not None:
+        from kgre.dedup import _cap_hot_buckets
+        d_bands = _cap_hot_buckets(d_bands, max_bucket, stats)
     cands = (
         m_bands.join(F.broadcast(d_bands), ["band", "key"])
         .select("mid", "eid")

@@ -235,6 +235,53 @@ def test_link_mentions_exact_and_noisy(spark):
     assert 13 not in got
 
 
+def test_link_mentions_phrase_collapse_and_dict_bucket_cap(spark):
+    """Web-scale guards: repeated surface forms link identically through
+    the distinct-phrase collapse, and hot dictionary band buckets can be
+    width-capped."""
+    import time
+
+    dictionary = spark.createDataFrame(
+        [(1, "red widget"), (2, "blue bolt"), (3, "small ring")],
+        "entity_id long, alias string")
+    # 30k mentions over 3 distinct phrases — the inner link problem is
+    # size 3 regardless of the mention count
+    rows = [(i, ["red widget", "blue bolts", "zzzz qqqq"][i % 3])
+            for i in range(30_000)]
+    mentions = spark.createDataFrame(rows, "mention_id long, phrase string")
+    t0 = time.perf_counter()
+    got = {r["mention_id"]: (r["entity_id"], r["jaccard"])
+           for r in linking.link_mentions(mentions, dictionary,
+                                          threshold=0.4).collect()}
+    wall = time.perf_counter() - t0
+    assert wall < 60, f"collapse path took {wall:.0f}s"
+    assert len(got) == 20_000          # zzzz qqqq never links
+    assert got[0] == got[3] and got[0][0] == 1
+    assert got[1][0] == 2
+    # collapsed == uncollapsed row-for-row on a small slice
+    small = mentions.filter("mention_id < 30")
+    a = sorted(map(tuple, linking.link_mentions(
+        small, dictionary, threshold=0.4).collect()))
+    b = sorted(map(tuple, linking.link_mentions(
+        small, dictionary, threshold=0.4,
+        collapse_phrases=False).collect()))
+    assert a == b and a
+    # dictionary bucket cap: 200 aliases sharing the normalized form all
+    # hash to identical band keys -> one 200-wide bucket per band, capped
+    hot = spark.createDataFrame(
+        [(100 + i, "red widget!" * 1) for i in range(200)],
+        "entity_id long, alias string")
+    stats: dict = {}
+    capped = linking.link_mentions(small, dictionary.union(hot),
+                                   threshold=0.4, max_bucket=50,
+                                   stats=stats).collect()
+    assert stats["capped_buckets"] >= 1
+    # the 200 hot aliases normalize like "red widget", so entity 1's own
+    # bucket is the capped one — red-widget mentions drop out of blocking
+    # entirely while the untouched blue-bolt bucket still links
+    assert {r["entity_id"] for r in capped} == {2}
+
+
 # ---------------------------------------------------------------- multimodal
 
 
