@@ -485,6 +485,19 @@ def _q_lstm_scoring(spark, sf_dir):
                          F.round("prob", 6).alias("prob"))
 
 
+def _q_clean_corpus(spark, sf_dir):
+    """The clean-corpus composition (kgre/clean.py, shared with the CLI
+    clean mode) as ONE oracle-checked query: exact dedup -> MinHash-LSH
+    near-dup collapse via connected components -> quality + language-ID
+    filters; returns the surviving doc_ids.  lang_threshold 0.02 keeps a
+    non-trivial subset of the synthetic corpus (53/60 of the first docs
+    clear it; see test_cli_clean_corpus_recipe)."""
+    from kgre.clean import clean_documents
+    surv = clean_documents(_docs(spark, sf_dir), neardup_threshold=0.6,
+                           min_quality=0.1, lang_threshold=0.02)
+    return surv.select("doc_id")
+
+
 def _q_stream_dedup(spark, sf_dir):
     """§2.12 streaming as an oracle-checked query (VERDICT r3 #6): the
     custom stateful operator ``dedup_page_stream`` (applyInPandasWithState
@@ -608,6 +621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_entity_linking": _q_entity_linking,
         # streaming (§2.12): stateful cross-batch dedup
         "q_stream_dedup": _q_stream_dedup,
+        # clean-corpus composition (exact dedup -> near-dup CC -> filters)
+        "q_clean_corpus": _q_clean_corpus,
         # LSTM scoring path (M3/M5; rows-only, non-SQL)
         "q_lstm_scoring": _q_lstm_scoring,
     }
@@ -1195,6 +1210,86 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(translate(lower(text), '{_PUNCT_SQL}', '')) AS fp
             FROM documents
+        """,
+        # the full clean-corpus composition: exact reps -> 3-shingle
+        # minhash banding -> verified jaccard pairs -> recursive CC
+        # (zero-padded ids: lexicographic min == numeric min) -> quality
+        # + language filters, each sub-expression identical to its
+        # standalone oracle (q_minhash_lsh / q_connected_components /
+        # q_quality_score / q_lang_id)
+        "q_clean_corpus": f"""
+            WITH RECURSIVE
+            reps AS (SELECT min(doc_id) AS doc_id FROM documents
+                     GROUP BY md5(text)),
+            d AS (SELECT d0.doc_id, d0.text FROM documents d0
+                  JOIN reps USING (doc_id)),
+            dd AS (SELECT doc_id, string_split(text, ' ') AS l FROM d),
+            idx AS (SELECT doc_id, l, unnest(range(1, len(l) - 1)) AS i
+                    FROM dd),
+            sh AS (SELECT DISTINCT doc_id,
+                          l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+                   FROM idx),
+            sig AS (SELECT doc_id,
+                           min(md5(shingle || '#0')) AS h0,
+                           min(md5(shingle || '#1')) AS h1,
+                           min(md5(shingle || '#2')) AS h2,
+                           min(md5(shingle || '#3')) AS h3,
+                           min(md5(shingle || '#4')) AS h4,
+                           min(md5(shingle || '#5')) AS h5,
+                           min(md5(shingle || '#6')) AS h6,
+                           min(md5(shingle || '#7')) AS h7
+                    FROM sh GROUP BY doc_id),
+            banded AS (
+              SELECT doc_id, 0 AS band, h0 || '|' || h1 AS bkey FROM sig
+              UNION ALL
+              SELECT doc_id, 1, h2 || '|' || h3 FROM sig
+              UNION ALL
+              SELECT doc_id, 2, h4 || '|' || h5 FROM sig
+              UNION ALL
+              SELECT doc_id, 3, h6 || '|' || h7 FROM sig),
+            cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                     FROM banded a JOIN banded b
+                       ON a.band = b.band AND a.bkey = b.bkey
+                      AND a.doc_id < b.doc_id),
+            sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+            i AS (SELECT c.d1, c.d2, count(*) AS inter
+                  FROM cand c
+                  JOIN sh a ON a.doc_id = c.d1
+                  JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+                  GROUP BY 1, 2),
+            pairs AS (SELECT d1, d2
+                      FROM i JOIN sz s1 ON d1 = s1.doc_id
+                             JOIN sz s2 ON d2 = s2.doc_id
+                      WHERE round(inter * 1.0 / (s1.s + s2.s - inter), 4)
+                            >= 0.6),
+            e(a, b) AS (
+              SELECT lpad(d1::VARCHAR, 12, '0'), lpad(d2::VARCHAR, 12, '0')
+              FROM pairs
+              UNION
+              SELECT lpad(d2::VARCHAR, 12, '0'), lpad(d1::VARCHAR, 12, '0')
+              FROM pairs),
+            nodes(n) AS (SELECT DISTINCT a FROM e),
+            reach(n, r) AS (
+                SELECT n, n FROM nodes
+                UNION
+                SELECT reach.n, e.b FROM reach JOIN e ON reach.r = e.a),
+            comp AS (SELECT n, min(r) AS c FROM reach GROUP BY n),
+            dropped AS (SELECT n::BIGINT AS doc_id FROM comp WHERE n != c),
+            d2 AS (SELECT doc_id, text FROM d
+                   WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+            q AS (SELECT doc_id,
+                         round((len(list_filter(string_split(text, ' '),
+                                 x -> list_contains({_EN_STOP_SQL}, x)))
+                                / len(string_split(text, ' '))) * 0.5
+                               + ((length(text)
+                                   - length(regexp_replace(text, '[aeiou]',
+                                                           '', 'g')))
+                                  / length(text)) * 0.5, 4) AS quality,
+                         len(list_filter(string_split(text, ' '),
+                             x -> list_contains({_EN_STOP_SQL}, x)))
+                           * 1.0 / len(string_split(text, ' ')) AS score
+                  FROM d2)
+            SELECT doc_id FROM q WHERE quality >= 0.1 AND score >= 0.02
         """,
         # first-occurrence-per-fingerprint: what the stateful stream must
         # converge to regardless of micro-batch boundaries (see

@@ -285,10 +285,7 @@ def mode_clean(spark, args):
                         (re-running resumes from completed buckets)
       triples/          emitted triples partitioned by rel
     """
-    import time
-
-    from kgre import dedup, textstats
-    from kgre.canon import connected_components
+    from kgre.clean import clean_documents
     from kgre.lineage import run_stage_with_resume
     from kgre.score import score_candidates
     from kgre.vocab import collect_vocab_sets
@@ -299,50 +296,15 @@ def mode_clean(spark, args):
     if not args.documents:
         raise SystemExit("clean mode requires --documents <parquet>")
     docs = spark.read.parquet(args.documents).persist()
-    stages = []
-
-    def note(stage, rows_in, rows_out, t0):
-        stages.append((stage, rows_in, rows_out,
-                       int((time.time() - t0) * 1000)))
-
-    n0 = docs.count()
-    # 1. exact dedup: keep the min doc_id per identical raw text
-    t0 = time.time()
-    reps = dedup.collapse_exact_docs(docs).persist()
-    n1 = reps.count()
-    note("exact_dedup", n0, n1, t0)
-    # 2. near-dup collapse: LSH pairs over the exact survivors, connected
-    # components over the pair graph, keep each component's min doc_id
-    # (zero-padded string ids so the CC lexicographic min == numeric min)
-    t0 = time.time()
-    pairs = dedup.minhash_near_dups(reps, threshold=args.neardup_threshold,
-                                    collapse_exact=False)
-
-    def pad(c):
-        return F.lpad(F.col(c).cast("string"), 12, "0")
-
-    comp = connected_components(
-        pairs.select(pad("d1").alias("src"), pad("d2").alias("dst")))
-    drop = (comp.filter(F.col("node") != F.col("component"))
-            .select(F.col("node").cast("bigint").alias("doc_id")))
-    deduped = reps.join(drop, "doc_id", "left_anti").persist()
-    n2 = deduped.count()
-    note("near_dedup", n1, n2, t0)
-    # 3. quality + language filters (pure-Catalyst textstats operators)
-    t0 = time.time()
-    clean = (
-        deduped
-        .join(textstats.quality_score(deduped).select("doc_id", "quality"),
-              "doc_id")
-        .join(textstats.lang_id(deduped, threshold=args.lang_threshold)
-              .select("doc_id", "lang_pred"), "doc_id")
-        .filter((F.col("quality") >= args.min_quality)
-                & (F.col("lang_pred") == "en"))
-        .drop("quality", "lang_pred"))
+    stages: list = []
+    clean = clean_documents(docs, neardup_threshold=args.neardup_threshold,
+                            min_quality=args.min_quality,
+                            lang_threshold=args.lang_threshold,
+                            manifest=stages)
     clean.write.mode("overwrite").parquet(args.out + "/clean_docs")
     clean = spark.read.parquet(args.out + "/clean_docs")
-    n3 = clean.count()
-    note("quality_lang", n2, n3, t0)
+    n0, n1, n2, n3 = (stages[0][1], stages[0][2], stages[1][2],
+                      stages[2][2])
     spark.createDataFrame(
         stages, "stage string, rows_in long, rows_out long, wall_ms long"
     ).write.mode("overwrite").parquet(args.out + "/clean_manifest")
