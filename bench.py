@@ -60,6 +60,9 @@ BENCH_QUERIES = [
 DOC_BENCH_QUERIES = [
     "q_kg_flagship", "q_kg_candidates", "q_vocab_topk", "q_label_join",
     "q_dedup_exact", "q_token_count", "q_fingerprint",
+    # the replicated table is ~90% exact duplicates — exercises the
+    # clean composition's collapse guards in the regime they exist for
+    "q_clean_corpus",
 ]
 
 
