@@ -53,7 +53,12 @@ def clean_documents(docs: DataFrame, neardup_threshold: float = 0.6,
 
     n0 = docs.count() if manifest is not None else None
     t0 = time.time()
-    reps = dedup.collapse_exact_docs(docs).persist()
+    # lazy localCheckpoint, not persist: reps is consumed twice (pair
+    # graph + anti-join) but must leave nothing in the CacheManager —
+    # a bench re-run of the same plan would warn "already cached" and
+    # the entry would outlive the call (same reasoning as
+    # vocab.two_phase_dense_ids, ADVICE r3); checkpoint blocks free on GC
+    reps = dedup.collapse_exact_docs(docs).localCheckpoint(eager=False)
     n1 = reps.count() if manifest is not None else None
     note("exact_dedup", n0, n1, t0)
 

@@ -143,3 +143,26 @@ def test_scorer_input_is_pruned(spark):
         args = ln.split(")#")[0]
         assert "sent_text" not in args and "sdp_types" not in args, ln
     cands.unpersist()
+
+
+def test_linking_and_clean_have_no_cartesian(spark):
+    """The r4 web-scale guards keep every join an equi-join: the linking
+    collapse/back-join and the whole clean composition must not plan a
+    CartesianProduct / BroadcastNestedLoopJoin."""
+    from kgre import linking
+    from kgre.clean import clean_documents
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    parts = spark.read.parquet(f"{SF}/part.parquet")
+    from pyspark.sql import functions as F
+    dictionary = parts.select(F.col("p_partkey").alias("entity_id"),
+                              F.col("p_name").alias("alias")).distinct()
+    mentions = parts.select(
+        F.col("p_partkey").alias("mention_id"),
+        F.concat(F.upper("p_name"), F.lit(" item")).alias("phrase"))
+    for df in (
+        linking.link_mentions(mentions, dictionary, threshold=0.4),
+        clean_documents(docs.filter("doc_id < 100")),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
