@@ -95,7 +95,8 @@ def _load_candidates(spark, args, a1, a2):
                                        synthgen.stop_entity_ids(),
                                        glob=args.pages_glob or "*.txt",
                                        recursive=args.recursive,
-                                       allow1=a1, allow2=a2)
+                                       allow1=a1, allow2=a2,
+                                       on_error=args.xml_on_error)
     return pages_to_candidates(_load_pages(spark, args), args.entity_a,
                                args.entity_b, synthgen.stop_entity_ids(),
                                allow1=a1, allow2=a2)
@@ -349,6 +350,12 @@ def main(argv=None):
                    help="directory of Stanford-CoreNLP XML .txt files "
                         "(the reference's real input format) — S1-compat "
                         "ingest bypassing the html extract/parse stage")
+    p.add_argument("--xml-on-error", choices=["fail", "skip"],
+                   default="fail",
+                   help="corenlp ingest: fail the job on an unparseable "
+                        "file (reference parity) or skip it (web-scale "
+                        "permissive mode; audit with "
+                        "kgre.corenlp.corenlp_corrupt_files)")
     p.add_argument("--synth", type=int, default=200,
                    help="generate N synthetic pages when no input given")
     p.add_argument("--out", default="/tmp/kgre_cli_out")

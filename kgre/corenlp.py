@@ -159,9 +159,33 @@ def read_corenlp_xml(spark: SparkSession, path: str, glob: str = "*.txt",
         _binary_reader(spark, glob, recursive).load(path))
 
 
+def corenlp_corrupt_files(files: DataFrame) -> DataFrame:
+    """(path, error) for every file the XML parser rejects — the audit
+    twin of ``on_error='skip'``: a web-scale corpus always carries some
+    truncated/garbled files, and silently skipping without an audit path
+    hides ingest loss.  Distributed (one mapInPandas attempt per file);
+    empty result == clean corpus."""
+
+    def run(batches):
+        for pdf in batches:
+            paths, errs = [], []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    sentences_from_corenlp_xml(content)
+                except Exception as exc:  # noqa: BLE001 — audit surface
+                    paths.append(path)
+                    errs.append("%s: %s" % (type(exc).__name__, exc))
+            yield pd.DataFrame({"path": pd.Series(paths, dtype=object),
+                                "error": pd.Series(errs, dtype=object)})
+
+    return files.select("path", "content").mapInPandas(
+        run, schema="path string, error string")
+
+
 def corenlp_files_to_candidates(files: DataFrame, entity_a: str,
                                 entity_b: str, stop_ids,
-                                allow1=None, allow2=None) -> DataFrame:
+                                allow1=None, allow2=None,
+                                on_error: str = "fail") -> DataFrame:
     """FUSED XML parse + candidate generation — the CoreNLP twin of
     ``pipeline.pages_to_candidates``: one Python crossing for the whole
     per-file path.  Chaining ``corenlp_xml_to_sentences`` into
@@ -169,10 +193,17 @@ def corenlp_files_to_candidates(files: DataFrame, entity_a: str,
     stage whose (tokens, deps) array-of-struct rows round-trip through
     Arrow — measured 2.4x the pages path on a 5k-doc corpus, vs ~1.2x
     fused.  The composable sentence reader stays for sentence-level
-    consumers (eval-data mentions, ad-hoc analysis)."""
+    consumers (eval-data mentions, ad-hoc analysis).
+
+    ``on_error``: 'fail' (default — reference parity, one bad file kills
+    the job with its path in the error) or 'skip' (permissive web-scale
+    mode: unparseable files contribute zero rows; audit what was dropped
+    with ``corenlp_corrupt_files``)."""
     from kgre.candidates import (CANDIDATES_SCHEMA, rows_to_pdf,
                                  sentence_candidates)
 
+    if on_error not in ("fail", "skip"):
+        raise ValueError("on_error must be 'fail' or 'skip'")
     stop = frozenset(stop_ids)
     a1 = frozenset(allow1) if allow1 is not None else None
     a2 = frozenset(allow2) if allow2 is not None else None
@@ -180,8 +211,15 @@ def corenlp_files_to_candidates(files: DataFrame, entity_a: str,
     def run(batches):
         for pdf in batches:
             rows = []
-            for content in pdf["content"]:
-                for s in sentences_from_corenlp_xml(content):
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    sents = sentences_from_corenlp_xml(content)
+                except Exception as exc:
+                    if on_error == "fail":
+                        raise ValueError(
+                            "corenlp ingest failed on %s" % path) from exc
+                    continue
+                for s in sents:
                     rows.extend(
                         sentence_candidates(
                             s["url"], s["sent_id"], s["tokens"], s["deps"],
@@ -191,14 +229,17 @@ def corenlp_files_to_candidates(files: DataFrame, entity_a: str,
                     )
             yield rows_to_pdf(rows)
 
-    return files.select("content").mapInPandas(run, schema=CANDIDATES_SCHEMA)
+    return files.select("path", "content").mapInPandas(
+        run, schema=CANDIDATES_SCHEMA)
 
 
 def read_corenlp_candidates(spark: SparkSession, path: str, entity_a: str,
                             entity_b: str, stop_ids, glob: str = "*.txt",
                             recursive: bool = False,
-                            allow1=None, allow2=None) -> DataFrame:
+                            allow1=None, allow2=None,
+                            on_error: str = "fail") -> DataFrame:
     """binaryFile scan -> fused parse+candidates (the CLI ingest path)."""
     return corenlp_files_to_candidates(
         _binary_reader(spark, glob, recursive).load(path),
-        entity_a, entity_b, stop_ids, allow1=allow1, allow2=allow2)
+        entity_a, entity_b, stop_ids, allow1=allow1, allow2=allow2,
+        on_error=on_error)

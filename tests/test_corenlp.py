@@ -217,3 +217,38 @@ def test_sentence_rows_to_xml_roundtrip():
         got = sentences_from_corenlp_xml(
             sentence_rows_to_xml(rows))
         assert got == want
+
+
+def test_corenlp_on_error_skip_and_audit(spark, tmp_path):
+    """Permissive web-scale ingest: a corrupt XML file fails the job
+    loudly by default (with its path), contributes zero rows under
+    on_error='skip', and shows up in the corenlp_corrupt_files audit."""
+    from kgre import synthgen
+    from kgre.corenlp import (corenlp_corrupt_files, _binary_reader,
+                              read_corenlp_candidates)
+
+    xml_dir = tmp_path / "xml"
+    xml_dir.mkdir()
+    stubs = sorted(_stub_sentences(20).items())
+    for i, (url, rows) in enumerate(stubs):
+        (xml_dir / f"d{i}.txt").write_bytes(rows_to_corenlp_xml(url, rows))
+    (xml_dir / "bad.txt").write_bytes(b"<root><document><sentenc")  # truncated
+    stop = synthgen.stop_entity_ids()
+
+    import pytest
+    with pytest.raises(Exception, match="bad.txt"):
+        read_corenlp_candidates(spark, str(xml_dir), "GENE", "ONTOLOGY",
+                                stop).count()
+    good = read_corenlp_candidates(spark, str(xml_dir), "GENE", "ONTOLOGY",
+                                   stop, on_error="skip")
+    want = read_corenlp_candidates(
+        spark, str(xml_dir), "GENE", "ONTOLOGY", stop,
+        glob="d*.txt")   # corrupt file excluded at the listing instead
+    key = ["url", "sent_id", "pair_idx", "is_reverse"]
+    assert sorted(map(tuple, good.select(*key).collect())) == \
+        sorted(map(tuple, want.select(*key).collect()))
+    audit = corenlp_corrupt_files(
+        _binary_reader(spark, "*.txt", False).load(str(xml_dir))).collect()
+    assert len(audit) == 1
+    assert audit[0]["path"].endswith("bad.txt")
+    assert "ParseError" in audit[0]["error"]
