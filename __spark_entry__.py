@@ -318,7 +318,7 @@ def _q_ngram_jaccard(spark, sf_dir):
     shingle self-join is q_ngram_jaccard_exact, the verify baseline)."""
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 120)
     return dedup.minhash_near_dups(docs, threshold=0.6, n_hashes=8,
-                                   bands=4, shingle_n=1)
+                                   bands=4, shingle_n=1, max_bucket=None)
 
 
 def _q_ngram_jaccard_exact(spark, sf_dir):
@@ -329,12 +329,12 @@ def _q_ngram_jaccard_exact(spark, sf_dir):
 def _q_minhash_lsh(spark, sf_dir):
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
     return dedup.minhash_near_dups(docs, threshold=0.3, n_hashes=8, bands=4,
-                                   shingle_n=3)
+                                   shingle_n=3, max_bucket=None)
 
 
 def _q_simhash_neardups(spark, sf_dir):
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
-    return dedup.simhash_near_dups(docs, max_hamming=6)
+    return dedup.simhash_near_dups(docs, max_hamming=6, max_bucket=None)
 
 
 def _q_ann_cosine_topk(spark, sf_dir):
@@ -493,8 +493,12 @@ def _q_clean_corpus(spark, sf_dir):
     non-trivial subset of the synthetic corpus (53/60 of the first docs
     clear it; see test_cli_clean_corpus_recipe)."""
     from kgre.clean import clean_documents
+    # max_bucket=None: the DuckDB oracle models UNCAPPED LSH semantics,
+    # so the gate compares exactly that (ADVICE r4); the capped
+    # production default is exercised by the CLI clean mode + tests
     surv = clean_documents(_docs(spark, sf_dir), neardup_threshold=0.6,
-                           min_quality=0.1, lang_threshold=0.02)
+                           min_quality=0.1, lang_threshold=0.02,
+                           max_bucket=None)
     return surv.select("doc_id")
 
 
@@ -515,11 +519,25 @@ def _q_stream_dedup(spark, sf_dir):
 
     from kgre.streaming import dedup_page_stream, read_page_stream
 
+    # scratch dir keyed by this driver's applicationId, not a fixed
+    # path: two concurrent gate runs on the same sf must not rmtree
+    # each other's live streaming checkpoint/input mid-run (ADVICE r4)
     tag = os.path.basename(sf_dir.rstrip("/"))
-    base = f"/tmp/kgre_stream_dedup_{tag}"
+    app = spark.sparkContext.applicationId
+    base = f"/tmp/kgre_stream_dedup_{tag}_{app}"
     in_dir, out_dir, ck = base + "/in", base + "/out", base + "/ck"
     for d in (base,):
         shutil.rmtree(d, ignore_errors=True)
+    # reap stale siblings from finished runs (anything >1h old cannot be
+    # a live gate run) so per-app scratch dirs don't accumulate in /tmp
+    import glob
+    import time as _time
+    for d in glob.glob(f"/tmp/kgre_stream_dedup_{tag}_*"):
+        try:
+            if d != base and _time.time() - os.path.getmtime(d) > 3600:
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass
     os.makedirs(in_dir, exist_ok=True)
     docs = _docs(spark, sf_dir)
     mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
@@ -555,7 +573,8 @@ def _q_entity_linking(spark, sf_dir):
     mentions = parts.select(
         F.col("p_partkey").alias("mention_id"),
         F.concat(F.upper("p_name"), F.lit(" item")).alias("phrase"))
-    return linking.link_mentions(mentions, dictionary, threshold=0.4)
+    return linking.link_mentions(mentions, dictionary, threshold=0.4,
+                                 max_bucket=None)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1262,11 +1281,20 @@ def oracle_sql() -> dict[str, str]:
                              JOIN sz s2 ON d2 = s2.doc_id
                       WHERE round(inter * 1.0 / (s1.s + s2.s - inter), 4)
                             >= 0.6),
+            -- order-preserving signed-64 encoding (bias by 2^63, pad to
+            -- 20): mirrors kgre/clean.py _encode_id so lexicographic min
+            -- == numeric min for hash-derived / negative doc_ids too
             e(a, b) AS (
-              SELECT lpad(d1::VARCHAR, 12, '0'), lpad(d2::VARCHAR, 12, '0')
+              SELECT lpad((d1::HUGEINT + 9223372036854775808)::VARCHAR,
+                          20, '0'),
+                     lpad((d2::HUGEINT + 9223372036854775808)::VARCHAR,
+                          20, '0')
               FROM pairs
               UNION
-              SELECT lpad(d2::VARCHAR, 12, '0'), lpad(d1::VARCHAR, 12, '0')
+              SELECT lpad((d2::HUGEINT + 9223372036854775808)::VARCHAR,
+                          20, '0'),
+                     lpad((d1::HUGEINT + 9223372036854775808)::VARCHAR,
+                          20, '0')
               FROM pairs),
             nodes(n) AS (SELECT DISTINCT a FROM e),
             reach(n, r) AS (
@@ -1274,7 +1302,8 @@ def oracle_sql() -> dict[str, str]:
                 UNION
                 SELECT reach.n, e.b FROM reach JOIN e ON reach.r = e.a),
             comp AS (SELECT n, min(r) AS c FROM reach GROUP BY n),
-            dropped AS (SELECT n::BIGINT AS doc_id FROM comp WHERE n != c),
+            dropped AS (SELECT (n::HUGEINT - 9223372036854775808)::BIGINT
+                          AS doc_id FROM comp WHERE n != c),
             d2 AS (SELECT doc_id, text FROM d
                    WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
             q AS (SELECT doc_id,

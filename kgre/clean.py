@@ -24,12 +24,31 @@ from pyspark.sql import functions as F
 
 from kgre import dedup, textstats
 from kgre.canon import connected_components
+from kgre.session import stage_checkpoint
+
+# 2^63 as a decimal literal (exceeds long, so it travels as a string
+# cast to decimal); shifting a signed bigint by this lands in [0, 2^64),
+# which fits decimal(20,0) and exactly 20 decimal digits zero-padded.
+_ID_BIAS = F.lit("9223372036854775808").cast("decimal(20,0)")
+
+
+def _encode_id(c: str):
+    """Signed-bigint column -> 20-char zero-padded string whose byte
+    order equals the numeric order (bias by 2^63 into unsigned)."""
+    biased = (F.col(c).cast("decimal(20,0)") + _ID_BIAS).cast("decimal(20,0)")
+    return F.lpad(biased.cast("string"), 20, "0")
+
+
+def _decode_id(c: str):
+    """Inverse of :func:`_encode_id`: padded string -> bigint."""
+    return (F.col(c).cast("decimal(20,0)") - _ID_BIAS).cast("long")
 
 
 def clean_documents(docs: DataFrame, neardup_threshold: float = 0.6,
                     min_quality: float = 0.1,
                     lang_threshold: float = 0.08,
-                    manifest: list | None = None) -> DataFrame:
+                    manifest: list | None = None,
+                    max_bucket: int | None = 10_000) -> DataFrame:
     """documents -> surviving documents (same schema).
 
     1. exact dedup — keep the min doc_id per identical raw text;
@@ -44,7 +63,12 @@ def clean_documents(docs: DataFrame, neardup_threshold: float = 0.6,
     ``manifest``: optional list receiving one
     ``(stage, rows_in, rows_out, wall_ms)`` tuple per stage (forces a
     count per stage; leave None to keep the plan fully lazy apart from
-    the CC iteration)."""
+    the CC iteration).  When a manifest is collected it also receives a
+    ``near_dedup_caps`` row carrying (capped_buckets, capped_rows) from
+    the LSH hot-bucket guard — the cap is the right bounded-work
+    behavior at web scale, but recall loss is never silent (VERDICT r4
+    #2).  ``max_bucket``: LSH band-bucket width cap (None = uncapped
+    exact semantics, what the DuckDB oracle models)."""
 
     def note(stage, rows_in, rows_out, t0):
         if manifest is not None:
@@ -53,29 +77,43 @@ def clean_documents(docs: DataFrame, neardup_threshold: float = 0.6,
 
     n0 = docs.count() if manifest is not None else None
     t0 = time.time()
-    # lazy localCheckpoint, not persist: reps is consumed twice (pair
+    # lazy stage checkpoint, not persist: reps is consumed twice (pair
     # graph + anti-join) but must leave nothing in the CacheManager —
     # a bench re-run of the same plan would warn "already cached" and
     # the entry would outlive the call (same reasoning as
-    # vocab.two_phase_dense_ids, ADVICE r3); checkpoint blocks free on GC
-    reps = dedup.collapse_exact_docs(docs).localCheckpoint(eager=False)
+    # vocab.two_phase_dense_ids, ADVICE r3); checkpoint blocks free on
+    # GC, and the flavor (local vs reliable) is a session config
+    # (session.stage_checkpoint, VERDICT r4 #3)
+    reps = stage_checkpoint(dedup.collapse_exact_docs(docs), eager=False)
     n1 = reps.count() if manifest is not None else None
     note("exact_dedup", n0, n1, t0)
 
     t0 = time.time()
+    cap_stats: dict = {}
     pairs = dedup.minhash_near_dups(reps, threshold=neardup_threshold,
-                                    collapse_exact=False)
+                                    collapse_exact=False,
+                                    max_bucket=max_bucket, stats=cap_stats)
 
-    def pad(c):
-        return F.lpad(F.col(c).cast("string"), 12, "0")
-
+    # CC works on strings and picks the LEXICOGRAPHIC min per component,
+    # so the encoding must be order-preserving over the FULL signed-64
+    # doc_id range (hash-derived ids are routinely >= 10^12 and can be
+    # negative; a fixed-width pad of the raw digits would truncate the
+    # former and mis-order the latter — ADVICE r4).  Bias by 2^63 into
+    # [0, 2^64) and zero-pad to 20 digits: numeric order == byte order.
     comp = connected_components(
-        pairs.select(pad("d1").alias("src"), pad("d2").alias("dst")))
+        pairs.select(_encode_id("d1").alias("src"),
+                     _encode_id("d2").alias("dst")))
     drop = (comp.filter(F.col("node") != F.col("component"))
-            .select(F.col("node").cast("bigint").alias("doc_id")))
+            .select(_decode_id("node").alias("doc_id")))
     deduped = reps.join(drop, "doc_id", "left_anti")
     n2 = deduped.count() if manifest is not None else None
     note("near_dedup", n1, n2, t0)
+    if manifest is not None:
+        # accounting row, not a flow stage: rows_in = buckets the width
+        # cap excluded from pair expansion, rows_out = rows inside them
+        manifest.append(("near_dedup_caps",
+                         cap_stats.get("capped_buckets", 0),
+                         cap_stats.get("capped_rows", 0), 0))
 
     t0 = time.time()
     clean = (

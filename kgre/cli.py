@@ -301,11 +301,15 @@ def mode_clean(spark, args):
     clean = clean_documents(docs, neardup_threshold=args.neardup_threshold,
                             min_quality=args.min_quality,
                             lang_threshold=args.lang_threshold,
-                            manifest=stages)
+                            manifest=stages,
+                            max_bucket=args.max_bucket or None)
     clean.write.mode("overwrite").parquet(args.out + "/clean_docs")
     clean = spark.read.parquet(args.out + "/clean_docs")
-    n0, n1, n2, n3 = (stages[0][1], stages[0][2], stages[1][2],
-                      stages[2][2])
+    by_stage = {s[0]: s for s in stages}
+    n0, n1 = by_stage["exact_dedup"][1], by_stage["exact_dedup"][2]
+    n2, n3 = by_stage["near_dedup"][2], by_stage["quality_lang"][2]
+    capped_b, capped_r = (by_stage["near_dedup_caps"][1],
+                          by_stage["near_dedup_caps"][2])
     spark.createDataFrame(
         stages, "stage string, rows_in long, rows_out long, wall_ms long"
     ).write.mode("overwrite").parquet(args.out + "/clean_manifest")
@@ -328,7 +332,8 @@ def mode_clean(spark, args):
     write_triples(emitted_triples(scored), args.out + "/triples")
     n_triples = spark.read.parquet(args.out + "/triples").count()
     print("CLEAN ok: docs %d -> exact %d -> neardup %d -> quality %d; "
-          "triples=%d" % (n0, n1, n2, n3, n_triples))
+          "triples=%d; capped_buckets=%d capped_rows=%d"
+          % (n0, n1, n2, n3, n_triples, capped_b, capped_r))
 
 
 MODES = {"build": mode_build, "score": mode_score, "predict": mode_predict,
@@ -392,6 +397,11 @@ def main(argv=None):
     p.add_argument("--lang-threshold", type=float, default=0.08,
                    help="clean mode: language-ID stopword-density cutoff "
                         "for keeping a doc as English")
+    p.add_argument("--max-bucket", type=int, default=10_000,
+                   help="clean mode: LSH band-bucket width cap for the "
+                        "near-dup stage (0 = uncapped); capped "
+                        "bucket/row counts land in clean_manifest as "
+                        "the near_dedup_caps row")
     p.add_argument("--checkpoint", action="store_true",
                    help="materialize the candidates stage to parquet "
                         "(the reference's TFRecord boundary)")

@@ -33,6 +33,8 @@ in bucket width):
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -77,18 +79,34 @@ def collapse_exact_docs(docs: DataFrame) -> DataFrame:
 def _cap_hot_buckets(banded: DataFrame, max_bucket: int | None,
                      stats: dict | None, key_cols=("band", "key")) -> DataFrame:
     """Drop (band, key) buckets wider than ``max_bucket`` from pair
-    expansion; record how many buckets/rows were capped in ``stats``
-    (one extra tiny aggregation job, only when a stats dict is passed)."""
+    expansion.  Capping trades recall for bounded work, so it is NEVER
+    silent (ADVICE r4): the capped bucket/row counts are always
+    computed, recorded in ``stats`` when a dict is passed, and surfaced
+    as a driver-side RuntimeWarning otherwise.  The per-bucket size
+    table is lazily checkpointed so the accounting reuses the same
+    upstream pass the width filter needs anyway (no extra signature
+    computation over the corpus)."""
     if max_bucket is None:
         return banded
+    from kgre.session import stage_checkpoint
+
     kc = list(key_cols)
-    sizes = banded.groupBy(*kc).agg(F.count("*").alias("_bn"))
+    sizes = stage_checkpoint(
+        banded.groupBy(*kc).agg(F.count("*").alias("_bn")), eager=False)
+    capped = sizes.filter(F.col("_bn") > max_bucket).agg(
+        F.count("*").alias("n_buckets"),
+        F.coalesce(F.sum("_bn"), F.lit(0)).alias("n_rows")).collect()[0]
+    n_buckets, n_rows = capped["n_buckets"], int(capped["n_rows"])
     if stats is not None:
-        capped = sizes.filter(F.col("_bn") > max_bucket).agg(
-            F.count("*").alias("n_buckets"),
-            F.coalesce(F.sum("_bn"), F.lit(0)).alias("n_rows")).collect()[0]
-        stats["capped_buckets"] = capped["n_buckets"]
-        stats["capped_rows"] = int(capped["n_rows"])
+        stats["capped_buckets"] = n_buckets
+        stats["capped_rows"] = n_rows
+    elif n_buckets:
+        warnings.warn(
+            f"hot-bucket cap dropped {n_buckets} bucket(s) / {n_rows} "
+            f"row(s) wider than max_bucket={max_bucket} from near-dup "
+            "pair expansion (bounded work, reduced recall); pass a "
+            "stats dict to account for this, or max_bucket=None for "
+            "exact semantics", RuntimeWarning, stacklevel=3)
     ok = sizes.filter(F.col("_bn") <= max_bucket).select(*kc)
     return banded.join(ok, kc)
 

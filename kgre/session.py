@@ -15,6 +15,35 @@ import os
 from pyspark.sql import SparkSession
 
 
+def stage_checkpoint(df, eager: bool = True):
+    """Cut a plan's lineage at a stage boundary, with the checkpoint
+    FLAVOR a session config rather than a hard-coded call (VERDICT r4
+    #3): by default ``localCheckpoint`` (executor-local blocks, freed on
+    GC — right for single-host local[*] where there is no executor loss),
+    and with ``spark.kgre.reliableCheckpoint=true`` the HDFS-backed
+    ``.checkpoint()`` (survives executor churn on a real cluster; needs
+    ``sc.setCheckpointDir`` or ``spark.kgre.checkpointDir``).
+
+    Both flavors produce identical data — only the storage/recovery
+    story differs (tests/test_ops.py pins the equivalence)."""
+    spark = df.sparkSession
+    flag = spark.conf.get(
+        "spark.kgre.reliableCheckpoint",
+        spark.conf.get("kgre.reliableCheckpoint", "false"))
+    if str(flag).lower() != "true":
+        return df.localCheckpoint(eager=eager)
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        cpd = spark.conf.get("spark.kgre.checkpointDir", None)
+        if not cpd:
+            raise ValueError(
+                "spark.kgre.reliableCheckpoint=true needs a checkpoint "
+                "dir: call sc.setCheckpointDir(...) or set "
+                "spark.kgre.checkpointDir")
+        sc.setCheckpointDir(cpd)
+    return df.checkpoint(eager=eager)
+
+
 def get_spark(app: str = "kgre", master: str | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     master = master or os.environ.get("KGRE_MASTER", "local[*]")

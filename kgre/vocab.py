@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from kgre.session import stage_checkpoint
+
 
 def _kf(kind, feature):
     return F.struct(F.lit(kind).alias("kind"), feature.alias("feature"))
@@ -67,17 +69,18 @@ def two_phase_dense_ids(df: DataFrame, partition_cols, order_cols,
     group for deterministic ids.
 
     The range-shuffled frame is materialized ONCE with an eager
-    ``localCheckpoint`` — the phase-1 count job and the phase-2 window
-    both read the stored blocks.  (A ``persist`` here leaked: the
-    CacheManager entry outlived the call, accumulating across CV folds
-    and warning "Asked to cache already cached data" on every bench
-    re-run — ADVICE r3.  Checkpoint blocks are instead released by the
-    ContextCleaner once the returned frame is garbage-collected, and
-    materializing eagerly also means the range boundaries are sampled
-    exactly once, so the count job and the output plan agree by
-    construction.)  Cluster-scale caveat: localCheckpoint blocks are not
-    recomputable after executor loss; a deployment with executor churn
-    should ``sc.setCheckpointDir`` and swap ``.checkpoint()`` in here.
+    checkpoint — the phase-1 count job and the phase-2 window both read
+    the stored blocks.  (A ``persist`` here leaked: the CacheManager
+    entry outlived the call, accumulating across CV folds and warning
+    "Asked to cache already cached data" on every bench re-run — ADVICE
+    r3.  Checkpoint blocks are instead released by the ContextCleaner
+    once the returned frame is garbage-collected, and materializing
+    eagerly also means the range boundaries are sampled exactly once,
+    so the count job and the output plan agree by construction.)  The
+    checkpoint FLAVOR is a session config (``session.stage_checkpoint``,
+    VERDICT r4 #3): localCheckpoint by default; reliable ``.checkpoint``
+    under ``spark.kgre.reliableCheckpoint=true`` for clusters with
+    executor churn.
     """
     from pyspark.sql import types as T
 
@@ -86,9 +89,9 @@ def two_phase_dense_ids(df: DataFrame, partition_cols, order_cols,
         num_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     gcols = list(partition_cols)
     sort_exprs = [F.col(c) for c in gcols] + list(order_cols)
-    parted = (df.repartitionByRange(num_parts, *sort_exprs)
-              .withColumn("_pid", F.spark_partition_id())
-              .localCheckpoint(eager=True))
+    parted = stage_checkpoint(
+        df.repartitionByRange(num_parts, *sort_exprs)
+        .withColumn("_pid", F.spark_partition_id()), eager=True)
     cnt_rows = (parted.groupBy("_pid", *gcols)
                 .agg(F.count("*").alias("_n")).collect())
     if not cnt_rows:

@@ -169,7 +169,10 @@ def test_cli_clean_corpus_recipe(spark, tmp_path, monkeypatch):
     assert kept.isdisjoint({1000, 1001, 1002, 1003})
     man = {r["stage"]: (r["rows_in"], r["rows_out"])
            for r in spark.read.parquet(out + "/clean_manifest").collect()}
-    assert set(man) == {"exact_dedup", "near_dedup", "quality_lang"}
+    assert set(man) == {"exact_dedup", "near_dedup", "near_dedup_caps",
+                        "quality_lang"}
+    # no bucket here approaches the width cap -> explicit zero accounting
+    assert man["near_dedup_caps"] == (0, 0)
     assert man["exact_dedup"] == (64, 62)       # 1000/1001 collapsed
     assert man["near_dedup"][1] <= 61           # 1002 (at least) collapsed
     # 53 of the 60 base docs clear the 0.02 stopword-density cutoff; the
@@ -179,3 +182,33 @@ def test_cli_clean_corpus_recipe(spark, tmp_path, monkeypatch):
     lin = spark.read.parquet(out + "/manifest")
     assert lin.filter("status = 'ok'").count() == 4
     assert spark.read.parquet(out + "/triples").count() > 0
+
+
+def test_cli_clean_mode_reports_hot_bucket_caps(spark, tmp_path, monkeypatch):
+    """VERDICT r4 #2: the clean mode must SURFACE recall lost to the LSH
+    width cap — a hot-bucket fixture (template variants sharing leading
+    shingles) run with a tiny --max-bucket must write a non-zero
+    near_dedup_caps accounting row into clean_manifest."""
+    # 40 one-token-suffix variants: distinct texts (survive exact dedup)
+    # whose leading shingles collide into hot band buckets
+    rows = [(i, "the quick brown fox jumps over the lazy dog again and "
+                "again in the big green field variant%d" % i, "en")
+            for i in range(40)]
+    rows.append((100, "totally unrelated words about ships and the sea "
+                      "and the people who sail them every day", "en"))
+    docs_dir = str(tmp_path / "hotdocs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string").write.parquet(docs_dir)
+    out = str(tmp_path / "hot_clean_out")
+    _run(spark, monkeypatch, "clean", out,
+         extra=("--documents", docs_dir, "--min-quality", "0.0",
+                "--lang-threshold", "0.02", "--buckets", "2",
+                "--max-bucket", "10"))
+    man = {r["stage"]: (r["rows_in"], r["rows_out"])
+           for r in spark.read.parquet(out + "/clean_manifest").collect()}
+    capped_buckets, capped_rows = man["near_dedup_caps"]
+    assert capped_buckets >= 1 and capped_rows > 10
+    # capped semantics: the hot variants escape the near-dup collapse
+    kept = {r["doc_id"]
+            for r in spark.read.parquet(out + "/clean_docs").collect()}
+    assert 100 in kept and len(kept) > 10

@@ -94,22 +94,23 @@ def test_near_dup_hot_bucket_guards(spark):
     self-join quadratically — the exact-collapse reduces them to one
     representative, and the max_bucket cap bounds any residual hot
     bucket."""
-    import time
-
     n_dup = 10_000
     rows = [(i, "the red fox jumps over the lazy dog", "en")
             for i in range(n_dup)]
     rows += [(n_dup, "the red fox jumps over the lazy cat", "en"),
              (n_dup + 1, "completely different words entirely here", "en")]
     df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
-    t0 = time.perf_counter()
     got = {(r["d1"], r["d2"]): r["jaccard"]
            for r in dedup.minhash_near_dups(df, threshold=0.5,
                                             shingle_n=2).collect()}
-    wall = time.perf_counter() - t0
     # the 10k-group collapses to rep 0; only the rep pairs with the cat doc
     assert set(got) == {(0, n_dup)}
-    assert wall < 120, f"near-dup pass took {wall:.0f}s — bucket explosion?"
+    # structural no-explosion property (host-speed independent — wall
+    # bounds flake in the degraded co-tenant windows BENCH/BASELINE.md
+    # documents, ADVICE r4): the exact-collapse leaves 3 reps, so the
+    # band self-join expands to at most C(3,2) candidate pairs, not the
+    # ~50M an uncollapsed 10k-wide bucket would produce
+    assert dedup.lsh_candidate_pairs(df, shingle_n=2).count() <= 3
     # simhash: the 10k-group contributes only its representative, so no
     # pair may involve a collapsed member (whether the dog/cat pair
     # collides in a 16-bit band is a property of the hash, not asserted)
@@ -239,8 +240,6 @@ def test_link_mentions_phrase_collapse_and_dict_bucket_cap(spark):
     """Web-scale guards: repeated surface forms link identically through
     the distinct-phrase collapse, and hot dictionary band buckets can be
     width-capped."""
-    import time
-
     dictionary = spark.createDataFrame(
         [(1, "red widget"), (2, "blue bolt"), (3, "small ring")],
         "entity_id long, alias string")
@@ -249,12 +248,12 @@ def test_link_mentions_phrase_collapse_and_dict_bucket_cap(spark):
     rows = [(i, ["red widget", "blue bolts", "zzzz qqqq"][i % 3])
             for i in range(30_000)]
     mentions = spark.createDataFrame(rows, "mention_id long, phrase string")
-    t0 = time.perf_counter()
     got = {r["mention_id"]: (r["entity_id"], r["jaccard"])
            for r in linking.link_mentions(mentions, dictionary,
                                           threshold=0.4).collect()}
-    wall = time.perf_counter() - t0
-    assert wall < 60, f"collapse path took {wall:.0f}s"
+    # no wall bound (flakes under co-tenant load, ADVICE r4): the
+    # structural collapse property is pinned by collapsed==uncollapsed
+    # below and the no-cartesian linking plan assert in test_plans
     assert len(got) == 20_000          # zzzz qqqq never links
     assert got[0] == got[3] and got[0][0] == 1
     assert got[1][0] == 2
@@ -596,3 +595,99 @@ def test_two_phase_dense_ids_null_group_and_no_cache(spark):
     assert spark.catalog._jcatalog.isCached is not None  # api guard
     jcache = spark._jsparkSession.sharedState().cacheManager()
     assert jcache.isEmpty(), "two_phase_dense_ids left a cached plan"
+
+
+def test_clean_extreme_doc_ids(spark):
+    """ADVICE r4 (medium): the CC node encoding must be order-preserving
+    over the FULL signed-64 doc_id range.  The old lpad(...,12) silently
+    TRUNCATED any id >= 10^12 to its first 12 digits, colliding distinct
+    docs into one CC node (false component merges) and mangling the
+    bigint cast-back.  Here two SEPARATE near-dup components use huge
+    ids sharing the same first 12 digits — under truncation they merge
+    and component B never collapses; under the biased 20-digit encoding
+    each collapses to its own numeric-min id (negative ids included)."""
+    from kgre.clean import clean_documents, _encode_id, _decode_id
+
+    text_a = ("the quick brown fox and the lazy dog were in a big house "
+              "with a cat on the mat and they all sat by the fire")
+    text_b = ("it was the best of times and it was the worst of times in "
+              "the city by the sea where the people would walk for hours")
+    a_big = 4611686018427387905     # 2^62 + 1
+    b_big = 4611686018427399999     # same first 12 digits as a_big
+    b_min = 4611686018427300001     # ditto; numeric min of component B
+    rows = [
+        (-5, text_a),               # numeric min of component A (negative)
+        (a_big, text_a + " extratail"),
+        (b_min, text_b),
+        (b_big, text_b + " othertail"),
+        (7, "completely different words about trains and planes and the "
+            "many cars that the people drive around the town all day"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r["doc_id"] for r in clean_documents(
+        docs, min_quality=0.0, lang_threshold=0.02).collect()}
+    assert kept == {-5, b_min, 7}
+
+    # encoding invariants: byte order == numeric order, exact roundtrip,
+    # across negatives / zero / >= 10^12 / LONG_MIN / LONG_MAX
+    ids = [-(2 ** 63), -5, 0, 7, 10 ** 12, a_big, b_big, 2 ** 63 - 1]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    enc = [r["e"] for r in df.select(_encode_id("doc_id").alias("e"))
+           .orderBy("doc_id").collect()]
+    assert enc == sorted(enc) and all(len(e) == 20 for e in enc)
+    back = [r["b"] for r in
+            df.select(_encode_id("doc_id").alias("e"))
+              .select(_decode_id("e").alias("b")).orderBy("b").collect()]
+    assert back == sorted(ids)
+
+
+def test_cap_warning_without_stats(spark):
+    """ADVICE r4: the hot-bucket cap must never be silent — with no
+    stats dict, capping raises a driver-side RuntimeWarning."""
+    import warnings as _w
+
+    vrows = [(i, "the red fox jumps over the lazy dog variant%d" % i, "en")
+             for i in range(60)]
+    vdf = spark.createDataFrame(vrows, "doc_id long, text string, lang string")
+    with pytest.warns(RuntimeWarning, match="hot-bucket cap"):
+        dedup.lsh_candidate_pairs(vdf, shingle_n=2, max_bucket=10)
+    # uncapped or unexceeded: no warning
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        dedup.lsh_candidate_pairs(vdf, shingle_n=2, max_bucket=None)
+        dedup.lsh_candidate_pairs(vdf, shingle_n=2, max_bucket=100_000)
+
+
+def test_stage_checkpoint_flavors_equivalent(spark, tmp_path):
+    """VERDICT r4 #3: the checkpoint flavor is a session config; both
+    flavors must produce identical dense ids and clean survivors, and
+    the reliable flavor without a checkpoint dir fails loudly."""
+    from kgre.clean import clean_documents
+    from kgre.session import stage_checkpoint
+    from kgre.vocab import two_phase_dense_ids
+
+    feats = spark.createDataFrame(
+        [("a", "f%02d" % (i % 17), 100 - i) for i in range(50)]
+        + [("b", "g%02d" % i, i) for i in range(20)],
+        "kind string, feature string, cnt long")
+    docs = _docs_df(spark)
+
+    def run_both():
+        ids = sorted(map(tuple, two_phase_dense_ids(
+            feats, ["kind"], [F.desc("cnt"), F.asc("feature")]).collect()))
+        surv = sorted(r["doc_id"] for r in clean_documents(
+            docs, min_quality=0.0, lang_threshold=0.02).collect())
+        return ids, surv
+
+    local_ids, local_surv = run_both()
+    assert spark.sparkContext.getCheckpointDir() is None
+    spark.conf.set("spark.kgre.reliableCheckpoint", "true")
+    try:
+        # no checkpoint dir configured -> loud failure, not silent local
+        with pytest.raises(ValueError, match="checkpoint"):
+            stage_checkpoint(docs)
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        rel_ids, rel_surv = run_both()
+    finally:
+        spark.conf.set("spark.kgre.reliableCheckpoint", "false")
+    assert rel_ids == local_ids and rel_surv == local_surv
