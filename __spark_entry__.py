@@ -647,47 +647,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-_IVF_CENT_SQL_CACHE: dict[str, str] = {}
 
 
 def _ivf_codebook_sql() -> str:
-    """Literal centroid VALUES table for the q_ann_ivf_topk oracle.
-
-    The Spark query trains a deterministic spherical-k-means codebook
-    (kgre.similarity.train_ivf_codebook: md5 hash-range sample in hash
-    order, numpy float64 Lloyd); DuckDB cannot run k-means, so the
-    oracle computes the SAME codebook here — the identical sample (the
-    shared ``grow_cutoff`` protocol over the same 24-bit md5(vec_id)
-    prefix, float32 parquet values upcast to float64) through the same
-    numpy function gives bit-equal centroids — and inlines it.  Bound to
-    the driver's correctness-gate scale (sf0.01), exactly like the
-    goldens mechanism above."""
-    key = "sf0.01"
-    if key not in _IVF_CENT_SQL_CACHE:
-        import duckdb
-        import numpy as np
-
-        from kgre.similarity import grow_cutoff, kmeans_codebook
-        pq = "read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
-        hx = "('0x' || substring(md5(vec_id::VARCHAR), 1, 6))::BIGINT"
-        total = duckdb.sql(f"SELECT count(*) FROM {pq}").fetchall()[0][0]
-        cutoff = grow_cutoff(
-            total, 4096,
-            lambda c: duckdb.sql(
-                f"SELECT count(*) FROM {pq} WHERE {hx} < {c}"
-            ).fetchall()[0][0])
-        where = f"WHERE {hx} < {cutoff}" if cutoff < (1 << 24) else ""
-        rows = duckdb.sql(
-            f"SELECT embedding FROM {pq} {where} "
-            f"ORDER BY {hx}, vec_id LIMIT 4096").fetchall()
-        X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
-        cent = kmeans_codebook(X, n_cells=16)
-        vals = ", ".join(
-            "(%d, [%s]::DOUBLE[])" % (
-                c, ", ".join(repr(float(x)) for x in cent[c]))
-            for c in range(cent.shape[0]))
-        _IVF_CENT_SQL_CACHE[key] = f"(VALUES {vals}) AS t(cell, emb)"
-    return _IVF_CENT_SQL_CACHE[key]
+    """Centroid table for the q_ann_ivf_topk oracle — read from the
+    MATERIALIZED golden (goldens/sf0.01/ivf_centroids.parquet, written
+    by tools/make_goldens.py), not retrained here (VERDICT r4 #6): with
+    a live retrain the oracle's codebook would move in lockstep with a
+    k-means regression and the gate could never catch one.  The golden
+    is regenerated only deliberately (make_goldens.py) and pinned by the
+    golden-drift test; the Spark side still TRAINS its codebook live
+    (kgre.similarity.train_ivf_codebook), so engine-vs-golden divergence
+    fails the driver gate.  Bound to the driver's correctness-gate scale
+    (sf0.01), exactly like the goldens mechanism above."""
+    return (f"(SELECT cell, emb FROM "
+            f"read_parquet('{_GOLDEN_DIR}/ivf_centroids.parquet')) "
+            "AS t(cell, emb)")
 
 
 def oracle_sql() -> dict[str, str]:

@@ -184,12 +184,29 @@ def run_big_docs() -> None:
     _force(qs["q_kg_candidates"](spark, big))   # warm python workers
     # two full passes, min per query — see run_bench for why
     timings, all_passes = _min_of_passes(spark, qs, DOC_BENCH_QUERIES, big)
+    # per-stage walls for the clean composition (VERDICT r4 #5): the
+    # manifest forces one count per stage, so each stage's wall is
+    # attributable (exact collapse / LSH+CC near-dup / quality+lang)
+    # rather than folded into one lazy plan
+    from kgre.clean import clean_documents
+    docs = (spark.read.parquet(big + "/documents.parquet")
+            .select("doc_id", "text"))
+    stages: list = []
+    t0 = time.perf_counter()
+    clean_documents(docs, min_quality=0.1, lang_threshold=0.02,
+                    manifest=stages)
+    clean_wall = time.perf_counter() - t0
     print(json.dumps({
         "metric": "kgre_bigdocs_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "passes": all_passes,
+        "clean_stages": {
+            s[0]: {"rows_in": s[1], "rows_out": s[2],
+                   "wall_s": round(s[3] / 1000, 3)}
+            for s in stages},
+        "clean_total_s": round(clean_wall, 3),
         "sf": f"{os.path.basename(sf_dir.rstrip('/'))}x{factor}",
         "n_docs": spark.read.parquet(big + "/documents.parquet").count(),
         "agg": "min-of-2",

@@ -6,6 +6,7 @@ import os
 import pytest
 
 from kgre import cli
+from pyspark.sql import functions as F
 
 
 def _run(spark, monkeypatch, mode, out, extra=()):
@@ -212,3 +213,56 @@ def test_cli_clean_mode_reports_hot_bucket_caps(spark, tmp_path, monkeypatch):
     kept = {r["doc_id"]
             for r in spark.read.parquet(out + "/clean_docs").collect()}
     assert 100 in kept and len(kept) > 10
+
+
+def test_cli_score_crash_resume_recomputes_only_missing(spark, tmp_path,
+                                                        monkeypatch):
+    """VERDICT r4 #4: crash-resume e2e.  Simulate a crash after 2 of 4
+    candidate buckets committed (delete the other buckets' outputs AND
+    their manifest rows — exactly the on-disk state a mid-run kill
+    leaves, since the manifest row commits only after the bucket's
+    parquet), re-run `score --resume`, and assert the completed buckets
+    were NOT recomputed while the final triples equal a no-resume run."""
+    import shutil
+
+    plain, res = str(tmp_path / "plain"), str(tmp_path / "res")
+    _run(spark, monkeypatch, "score", plain)
+    _run(spark, monkeypatch, "score", res, extra=("--resume", "--buckets", "4"))
+
+    # -- crash surgery: keep buckets {0,1}, erase {2,3} ------------------
+    man_dir = res + "/manifest"
+    rows = spark.read.parquet(man_dir) \
+        .withColumn("_f", F.input_file_name()).collect()
+    victim_files = {r["_f"] for r in rows if r["bucket"] in (2, 3)}
+    keeper_files = {r["_f"] for r in rows if r["bucket"] in (0, 1)}
+    # each bucket's manifest append committed its own file(s), so a
+    # partial manifest is representable by deleting whole files
+    assert victim_files.isdisjoint(keeper_files)
+    for f in victim_files:
+        os.remove(f.replace("file://", ""))
+    for b in (2, 3):
+        shutil.rmtree(res + f"/candidates/bucket={b}")
+
+    survivors_before = {
+        p: os.path.getmtime(os.path.join(res, "candidates", f"bucket={b}", p))
+        for b in (0, 1)
+        for p in os.listdir(res + f"/candidates/bucket={b}")}
+
+    _run(spark, monkeypatch, "score", res, extra=("--resume", "--buckets", "4"))
+
+    # completed buckets were skipped: their data files untouched on disk
+    survivors_after = {
+        p: os.path.getmtime(os.path.join(res, "candidates", f"bucket={b}", p))
+        for b in (0, 1)
+        for p in os.listdir(res + f"/candidates/bucket={b}")}
+    assert survivors_after == survivors_before
+    # manifest is whole again: exactly one ok row per bucket
+    man = spark.read.parquet(man_dir).filter("status = 'ok'")
+    assert sorted(r["bucket"] for r in man.collect()) == [0, 1, 2, 3]
+    # and the resumed output equals the no-resume run, row for row
+    key = ["url", "sent_id", "pair_idx", "is_reverse", "rel"]
+    a = {tuple(r) for r in
+         spark.read.parquet(plain + "/triples").select(*key).collect()}
+    b = {tuple(r) for r in
+         spark.read.parquet(res + "/triples").select(*key).collect()}
+    assert a == b and a

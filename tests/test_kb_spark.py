@@ -98,3 +98,45 @@ def test_parse_sentences_roundtrip(spark):
             assert [d.asDict() for d in r["deps"]] == s["deps"]
             n_sent += 1
     assert n_sent == len(rows) > 0
+
+
+def test_label_join_hub_entity_partition_balance(spark):
+    """VERDICT r4 #7 (SURVEY 4.2 hot-entity skew): one hub GO term in
+    100k candidate pairs.  The J1 join is broadcast (map-side, no
+    shuffle on the entity key), and the downstream aggregation groups by
+    the CANDIDATE key — high-cardinality even when every pair shares one
+    entity — so the hub must spread evenly across the exchange instead
+    of landing in one straggler partition."""
+    from pyspark.sql import functions as F
+
+    from kgre.kb import label_join
+
+    n = 100_000
+    cands = spark.range(n).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        F.lit(0).alias("sent_id"), F.lit(0).alias("pair_idx"),
+        F.array(F.lit("HUB")).alias("pair_e1_ids"),
+        F.array(F.concat(F.lit("G"), (F.col("id") % 50).cast("string")))
+        .alias("pair_e2_ids"))
+    kb = spark.createDataFrame(
+        [("HUB", "G%d" % i, "activates", False) for i in range(50)],
+        "e1 string, e2 string, rel string, is_reverse boolean")
+    # AQE's small-data coalesce would legitimately fold this fixture into
+    # one partition and hide the distribution; probe the raw hash layout
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        out = label_join(cands, kb)
+        sizes = [r["n"] for r in
+                 out.withColumn("p", F.spark_partition_id())
+                 .groupBy("p").agg(F.count("*").alias("n")).collect()]
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                       "true")
+    assert sum(sizes) == n                       # every pair labeled once
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert len(sizes) == n_parts                 # hub spread over ALL parts
+    assert max(sizes) <= 2 * (n / n_parts)       # no straggler partition
+    # and the labels themselves are right
+    row = out.filter("url = 'u7'").collect()
+    assert [(r["rel"], r["fwd_hit"], r["rev_hit"]) for r in row] \
+        == [("activates", 1, 0)]

@@ -161,6 +161,39 @@ def golden_lstm(docs, out_dir):
     }))
 
 
+def golden_ivf_centroids(sf_dir, out_dir):
+    """Frozen IVF codebook for the q_ann_ivf_topk oracle (VERDICT r4
+    #6): the DuckDB-side hash-range sample (shared ``grow_cutoff``
+    protocol over the 24-bit md5(vec_id) prefix, float32 parquet values
+    upcast to float64) through ``kgre.similarity.kmeans_codebook``,
+    MATERIALIZED — the oracle reads this file instead of retraining, so
+    a Lloyd regression fails the driver gate and the golden-drift test
+    rather than silently updating the oracle's codebook in lockstep."""
+    import duckdb
+
+    from kgre.similarity import grow_cutoff, kmeans_codebook
+
+    rel = f"read_parquet('{sf_dir}/embeddings.parquet')"
+    hx = "('0x' || substring(md5(vec_id::VARCHAR), 1, 6))::BIGINT"
+    total = duckdb.sql(f"SELECT count(*) FROM {rel}").fetchall()[0][0]
+    cutoff = grow_cutoff(
+        total, 4096,
+        lambda c: duckdb.sql(
+            f"SELECT count(*) FROM {rel} WHERE {hx} < {c}").fetchall()[0][0])
+    where = f"WHERE {hx} < {cutoff}" if cutoff < (1 << 24) else ""
+    rows = duckdb.sql(
+        f"SELECT embedding FROM {rel} {where} "
+        f"ORDER BY {hx}, vec_id LIMIT 4096").fetchall()
+    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    cent = kmeans_codebook(X, n_cells=16)
+    write(os.path.join(out_dir, "ivf_centroids.parquet"), pa.table({
+        "cell": pa.array(range(cent.shape[0]), pa.int64()),
+        "emb": pa.array([[float(x) for x in cent[c]]
+                         for c in range(cent.shape[0])],
+                        pa.list_(pa.float64())),
+    }))
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = (sys.argv[2] if len(sys.argv) > 2
@@ -170,6 +203,7 @@ def main():
     golden_flagship(docs, out_dir)
     golden_candidates(docs, out_dir)
     golden_lstm(docs, out_dir)
+    golden_ivf_centroids(sf_dir, out_dir)
 
 
 if __name__ == "__main__":

