@@ -405,9 +405,18 @@ def main(argv=None):
     p.add_argument("--checkpoint", action="store_true",
                    help="materialize the candidates stage to parquet "
                         "(the reference's TFRecord boundary)")
+    p.add_argument("--reliable-checkpoint", metavar="DIR", default=None,
+                   help="store stage checkpoints as recoverable "
+                        ".checkpoint() files under DIR (HDFS path on a "
+                        "real cluster) instead of the executor-local "
+                        "localCheckpoint default — survives executor "
+                        "loss (see kgre.session.stage_checkpoint)")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
     spark = get_spark("kgre-" + args.mode, master=args.master)
+    if args.reliable_checkpoint:
+        spark.conf.set("spark.kgre.reliableCheckpoint", "true")
+        spark.sparkContext.setCheckpointDir(args.reliable_checkpoint)
     MODES[args.mode](spark, args)
     spark.stop()
 

@@ -266,3 +266,23 @@ def test_cli_score_crash_resume_recomputes_only_missing(spark, tmp_path,
     b = {tuple(r) for r in
          spark.read.parquet(res + "/triples").select(*key).collect()}
     assert a == b and a
+
+
+def test_cli_reliable_checkpoint_flag(spark, tmp_path, monkeypatch):
+    """--reliable-checkpoint routes stage checkpoints through recoverable
+    .checkpoint() files under the given dir (VERDICT r4 #3 as a user
+    surface), and the output equals the localCheckpoint default."""
+    ckpt = str(tmp_path / "ckpt")
+    plain, rel = str(tmp_path / "plain"), str(tmp_path / "rel")
+    _run(spark, monkeypatch, "build", plain)
+    try:
+        _run(spark, monkeypatch, "build", rel,
+             extra=("--reliable-checkpoint", ckpt))
+    finally:
+        spark.conf.set("spark.kgre.reliableCheckpoint", "false")
+    # reliable checkpoint files actually landed under the dir
+    assert any(files for _, _, files in os.walk(ckpt))
+    # identical vocab (dense ids included) under either flavor
+    a = sorted(map(tuple, spark.read.parquet(plain + "/vocab").collect()))
+    b = sorted(map(tuple, spark.read.parquet(rel + "/vocab").collect()))
+    assert a == b and a
