@@ -84,7 +84,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: documents -> synthetic web pages -> extract -> parse ->
     candidates -> distant labels + logistic scoring -> emitted triples."""
     docs = _docs(spark, "/root/testdata/sf0.001")
-    pages = webtext.pages_from_documents(docs)
+    pages = webtext.pages_from_documents(docs, lang="en")
     pipe = KgPipeline(spark, occur_count=2)
     scored, _, _ = pipe.run(pages, synthgen.kb_rows(), synthgen.ontology_rows(),
                             synthgen.stop_entity_ids(), emit_threshold=0.5)
@@ -96,7 +96,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _q_kg_flagship(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    pages = webtext.pages_from_documents(docs)
+    pages = webtext.pages_from_documents(docs, lang="en")
     pipe = KgPipeline(spark, occur_count=2)
     scored, _, _ = pipe.run(pages, synthgen.kb_rows(), synthgen.ontology_rows(),
                             synthgen.stop_entity_ids(), emit_threshold=0.5)
@@ -107,7 +107,7 @@ def _q_kg_flagship(spark, sf_dir):
 def _q_kg_candidates(spark, sf_dir):
     from kgre.pipeline import pages_to_candidates
     docs = _docs(spark, sf_dir)
-    pages = webtext.pages_from_documents(docs)
+    pages = webtext.pages_from_documents(docs, lang="en")
     cands = pages_to_candidates(pages, "GENE", "ONTOLOGY",
                                 synthgen.stop_entity_ids())
     return cands.select("url", "sent_id", "pair_idx", "is_reverse", "subj",
@@ -429,7 +429,7 @@ def _q_triple_parity(spark, sf_dir):
     join, sum of per-key minima) — no driver collect, so the same query
     shape survives a 100x corpus."""
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
-    pages_df = webtext.pages_from_documents(docs)
+    pages_df = webtext.pages_from_documents(docs, lang="en")
     pipe = KgPipeline(spark, occur_count=2)
     scored, _, _ = pipe.run(pages_df, synthgen.kb_rows(),
                             synthgen.ontology_rows(),
@@ -472,7 +472,7 @@ def _q_lstm_scoring(spark, sf_dir):
     from kgre import lstm
     from kgre.pipeline import pages_to_candidates
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 60)
-    pages = webtext.pages_from_documents(docs)
+    pages = webtext.pages_from_documents(docs, lang="en")
     cands = pages_to_candidates(pages, "GENE", "ONTOLOGY",
                                 synthgen.stop_entity_ids()).persist()
     # bounded distributed vocab build — no unbounded driver collect

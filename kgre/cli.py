@@ -56,7 +56,8 @@ def _load_pages(spark, args):
             reader = reader.option("recursiveFileLookup", "true")
         return reader.parquet(args.pages)
     if args.documents:
-        return webtext.pages_from_documents(spark.read.parquet(args.documents))
+        return webtext.pages_from_documents(spark.read.parquet(args.documents),
+                                            lang="en")
     return synthgen.pages_df(spark, args.synth)
 
 
@@ -319,7 +320,7 @@ def mode_clean(spark, args):
     fwd, rev, key_order = pipe.prepare_kb(synthgen.kb_rows(),
                                           synthgen.ontology_rows())
     stop = synthgen.stop_entity_ids()
-    pages = webtext.pages_from_documents(clean)
+    pages = webtext.pages_from_documents(clean, lang="en")
     cands = run_stage_with_resume(
         spark, pages, "candidates",
         lambda part: pages_to_candidates(part, args.entity_a, args.entity_b,

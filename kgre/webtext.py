@@ -12,6 +12,7 @@ from datetime import datetime, timedelta
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from kgre.synthgen import HTML_TEMPLATE, N_GENES, N_GO, PAGES_SCHEMA
 from kgre.util import ensure_min_partitions, h48, hseq
@@ -64,7 +65,16 @@ def doc_to_page(doc_id: int, text: str, lang: str) -> dict:
     }
 
 
-def pages_from_documents(docs: DataFrame) -> DataFrame:
+def pages_from_documents(docs: DataFrame, lang: str | None = None) -> DataFrame:
+    """``lang``: when the consumer keeps only one page language (the KG
+    pipeline filters ``lang == 'en'`` before extraction), filtering the
+    DOCUMENTS side here prunes rows before the derivation UDF — the
+    derivation is an Arrow crossing with a per-word hash loop, and on a
+    Common-Crawl-style mix roughly half the corpus is non-English, so
+    deriving pages that are dropped one operator later doubles the cost
+    of the first crossing.  Page lang is a passthrough of doc lang, so
+    the result is identical either way."""
+
     def run(batches):
         for pdf in batches:
             rows = [
@@ -73,8 +83,10 @@ def pages_from_documents(docs: DataFrame) -> DataFrame:
             ]
             yield _pages_pdf(rows)
 
-    slim = ensure_min_partitions(docs.select("doc_id", "text", "lang"),
-                                 cols=("doc_id",))
+    slim = docs.select("doc_id", "text", "lang")
+    if lang is not None:
+        slim = slim.filter(F.col("lang") == lang)
+    slim = ensure_min_partitions(slim, cols=("doc_id",))
     return slim.mapInPandas(run, schema=PAGES_SCHEMA)
 
 
