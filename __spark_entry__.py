@@ -393,6 +393,32 @@ def _q_lang_id(spark, sf_dir):
     return textstats.lang_id(_docs(spark, sf_dir))
 
 
+def _q_url_canonical(spark, sf_dir):
+    """Web-crawl URL canonicalization (kgre/urls.py): deterministic
+    messy URLs derived from doc_id (mixed-case scheme/host, default and
+    explicit ports, tracking params, fragments, with/without query) →
+    canonical form + origin host, all pure Catalyst (parse_url is
+    JVM-side).  The oracle decomposes the same URLs with an independent
+    regexp parser."""
+    from kgre import urls
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Site"), (d % 7).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(d % 4 == 0, F.lit(":443"))
+         .when(d % 4 == 1, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/path"), (d % 5).cast("string"),
+        F.when(d % 3 == 0, F.lit("")).otherwise(F.lit("/")),
+        F.when(d % 6 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("?utm_source=feed&b="), (d % 3).cast("string"),
+                     F.lit("&a=1"))),
+        F.when(d % 2 == 0, F.lit("#frag")).otherwise(F.lit("")))
+    messy = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    return urls.canonicalize_urls(messy).select("doc_id", "canon_url",
+                                                "host")
+
+
 def _q_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_docs(spark, sf_dir))
 
@@ -631,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_score": _q_quality_score,
         "q_lang_id": _q_lang_id,
         "q_fingerprint": _q_fingerprint,
+        "q_url_canonical": _q_url_canonical,
         # multimodal plumbing
         "q_multimodal_meta": _q_multimodal_meta,
         "q_frame_sample": _q_frame_sample,
@@ -1204,6 +1231,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(translate(lower(text), '{_PUNCT_SQL}', '')) AS fp
             FROM documents
+        """,
+        # independent regexp decomposition of the same deterministic
+        # messy URLs the Spark side canonicalizes via parse_url
+        "q_url_canonical": r"""
+            WITH m AS (
+              SELECT doc_id,
+                'HTTPS://WWW.Site' || (doc_id % 7) || '.Example.COM' ||
+                (CASE doc_id % 4 WHEN 0 THEN ':443'
+                                 WHEN 1 THEN ':8080' ELSE '' END) ||
+                '/path' || (doc_id % 5) ||
+                (CASE WHEN doc_id % 3 = 0 THEN '' ELSE '/' END) ||
+                (CASE WHEN doc_id % 6 = 0 THEN ''
+                 ELSE '?utm_source=feed&b=' || (doc_id % 3) || '&a=1'
+                 END) ||
+                (CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END)
+                  AS url
+              FROM documents),
+            p AS (
+              SELECT doc_id,
+                lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS proto,
+                regexp_replace(
+                  lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+                  ':(80|443)$', '') AS host,
+                coalesce(nullif(regexp_extract(
+                  url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), ''), '/')
+                  AS path,
+                coalesce(regexp_extract(url, '\?([^#]*)', 1), '') AS query
+              FROM m),
+            q AS (
+              SELECT doc_id, proto, host, path,
+                coalesce(array_to_string(list_sort(list_filter(
+                  string_split(query, '&'),
+                  x -> x != '' AND NOT regexp_matches(
+                    x, '^(utm_[A-Za-z0-9_]*|fbclid|gclid)='))), '&'), '')
+                  AS qq
+              FROM p)
+            SELECT doc_id,
+              proto || '://' || host || path ||
+              (CASE WHEN qq = '' THEN '' ELSE '?' || qq END) AS canon_url,
+              host
+            FROM q
         """,
         # the full clean-corpus composition: exact reps -> 3-shingle
         # minhash banding -> verified jaccard pairs -> recursive CC

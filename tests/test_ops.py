@@ -693,3 +693,36 @@ def test_stage_checkpoint_flavors_equivalent(spark, tmp_path):
     finally:
         spark.conf.set("spark.kgre.reliableCheckpoint", "false")
     assert rel_ids == local_ids and rel_surv == local_surv
+
+
+def test_canonical_url_edge_cases(spark):
+    """URL canonicalization (kgre/urls.py): case folding is scheme/host
+    ONLY (paths are case-sensitive per RFC 3986), default ports drop but
+    explicit ports survive (distinct origins), fragments drop, tracking
+    params drop, surviving params sort."""
+    from kgre import urls
+
+    cases = [
+        ("HTTPS://WWW.Ex.COM:443/A/b?utm_source=x&b=2&a=1#f",
+         "https://www.ex.com/A/b?a=1&b=2", "www.ex.com"),
+        ("http://ex.com:8080", "http://ex.com:8080/", "ex.com:8080"),
+        ("http://ex.com:80/x", "http://ex.com/x", "ex.com"),
+        ("https://ex.com/p?utm_campaign=z", "https://ex.com/p", "ex.com"),
+        ("https://ex.com/p?fbclid=1&z=9&gclid=2",
+         "https://ex.com/p?z=9", "ex.com"),
+        ("https://Ex.com/#only-frag", "https://ex.com/", "ex.com"),
+    ]
+    df = spark.createDataFrame([(i, c[0]) for i, c in enumerate(cases)],
+                               "doc_id long, url string")
+    got = {r["doc_id"]: (r["canon_url"], r["host"])
+           for r in urls.canonicalize_urls(df).collect()}
+    for i, (_, canon, host) in enumerate(cases):
+        assert got[i] == (canon, host), (i, got[i])
+    # dedup_by_canonical keeps the min id per canonical key
+    dupes = spark.createDataFrame(
+        [(10, "https://ex.com/p?b=1&a=1"),
+         (11, "HTTPS://EX.com:443/p?a=1&utm_source=x&b=1"),
+         (12, "https://other.com/q")],
+        "doc_id long, url string")
+    kept = {r["doc_id"] for r in urls.dedup_by_canonical(dupes).collect()}
+    assert kept == {10, 12}
