@@ -16,8 +16,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kgre import dedup, kb as kbmod, linking, multimodal, similarity, synthgen
-from kgre import textstats, webtext
+from kgre import decontam, dedup, kb as kbmod, linking, multimodal
+from kgre import pii, similarity, synthgen, textstats, webtext
 from kgre.pipeline import KgPipeline
 from kgre.score import emitted_triples
 
@@ -47,6 +47,10 @@ _CC_TRIPLES_SQL = ", ".join("('%s','%s','%s')" % t for t in _CC_TRIPLES)
 
 _EN_STOP_SQL = "[" + ", ".join("'%s'" % w for w in textstats.EN_STOPWORDS) + "]"
 _PUNCT_SQL = textstats.PUNCT.replace("'", "''")
+
+# the PII regexes are the SHARED SPEC (Java-regex ∩ RE2 dialect) — the
+# oracle interpolates the exact same strings kgre/pii.py compiles
+_PII_EMAIL, _PII_IP, _PII_PHONE = (p for _, p, _ in pii.PII_PATTERNS)
 
 # Materialized pyoracle goldens (tools/make_goldens.py) for the four
 # non-SQL-expressible KG queries; the driver's correctness sf is 0.01
@@ -419,6 +423,64 @@ def _q_url_canonical(spark, sf_dir):
                                                 "host")
 
 
+def _q_pii_scrub(spark, sf_dir):
+    """PII scrubbing (kgre/pii.py): deterministic emails / IPv4s / phone
+    numbers planted from doc_id (some docs get none, some several) →
+    per-class counts on the original text + the sequentially-scrubbed
+    text.  Map-only, pure Catalyst; the oracle replays the same spec
+    with RE2."""
+    d = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0, F.concat(
+            F.lit(" Contact user"), (d % 50).cast("string"),
+            F.lit("@mail"), (d % 7).cast("string"),
+            F.lit(".example.com now."))).otherwise(F.lit("")),
+        F.when(d % 4 == 1, F.concat(
+            F.lit(" Server 10."), (d % 200).cast("string"),
+            F.lit(".0."), (d % 9).cast("string"),
+            F.lit(" up."))).otherwise(F.lit("")),
+        F.when(d % 5 == 2, F.concat(
+            F.lit(" Call +1 555-0"), (100 + d % 100).cast("string"),
+            F.lit("."))).otherwise(F.lit("")))
+    docs = _docs(spark, sf_dir).select("doc_id", planted.alias("text"))
+    return pii.scrub_pii(docs)
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (kgre/decontam.py): docs with
+    doc_id % 97 == 0 form the 'benchmark'; every corpus doc with
+    doc_id % 7 == 3 gets a 12-token benchmark snippet appended
+    (deterministic rn = doc_id % |benchmark| mapping), then the 5-gram
+    overlap detector must flag exactly the planted docs (min_hits=3
+    keeps natural single-gram collisions unflagged)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    bench = docs.filter(d % 97 == 0)
+    # single-partition window is fine: the benchmark side is an eval
+    # suite, tiny by definition
+    w = Window.orderBy("doc_id")
+    snippet = F.array_join(
+        F.slice(F.split(F.lower(F.col("text")), " "), 1, 12), " ")
+    bench_rn = bench.select((F.row_number().over(w) - 1).alias("rn"),
+                            snippet.alias("snippet"))
+    nb = bench_rn.groupBy().agg(F.count("*").alias("nb"))
+    corpus = (docs.filter(d % 97 != 0)
+              .crossJoin(F.broadcast(nb))
+              .withColumn("key", F.when(d % 7 == 3, d % F.col("nb"))
+                          .otherwise(F.lit(-1)))
+              .join(F.broadcast(bench_rn),
+                    F.col("key") == F.col("rn"), "left")
+              .select("doc_id",
+                      F.concat(F.col("text"),
+                               F.coalesce(
+                                   F.concat(F.lit(" "), F.col("snippet")),
+                                   F.lit(""))).alias("text")))
+    return decontam.decontaminate(corpus, bench, n=5, min_hits=3)
+
+
 def _q_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_docs(spark, sf_dir))
 
@@ -658,6 +720,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": _q_lang_id,
         "q_fingerprint": _q_fingerprint,
         "q_url_canonical": _q_url_canonical,
+        "q_pii_scrub": _q_pii_scrub,
+        "q_decontaminate": _q_decontaminate,
         # multimodal plumbing
         "q_multimodal_meta": _q_multimodal_meta,
         "q_frame_sample": _q_frame_sample,
@@ -1272,6 +1336,84 @@ def oracle_sql() -> dict[str, str]:
               (CASE WHEN qq = '' THEN '' ELSE '?' || qq END) AS canon_url,
               host
             FROM q
+        """,
+        # same planted-PII construction; counts per class on the
+        # original text, replacements applied in the same spec order
+        "q_pii_scrub": f"""
+            WITH m AS (
+              SELECT doc_id,
+                text ||
+                (CASE WHEN doc_id % 3 = 0
+                 THEN ' Contact user' || (doc_id % 50) || '@mail' ||
+                      (doc_id % 7) || '.example.com now.' ELSE '' END) ||
+                (CASE WHEN doc_id % 4 = 1
+                 THEN ' Server 10.' || (doc_id % 200) || '.0.' ||
+                      (doc_id % 9) || ' up.' ELSE '' END) ||
+                (CASE WHEN doc_id % 5 = 2
+                 THEN ' Call +1 555-0' || (100 + doc_id % 100) || '.'
+                 ELSE '' END) AS t
+              FROM documents)
+            SELECT doc_id,
+              len(regexp_extract_all(t, '{_PII_EMAIL}'))::BIGINT
+                AS n_email,
+              len(regexp_extract_all(t, '{_PII_IP}'))::BIGINT AS n_ip,
+              len(regexp_extract_all(t, '{_PII_PHONE}'))::BIGINT
+                AS n_phone,
+              regexp_replace(regexp_replace(regexp_replace(t,
+                '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                '{_PII_IP}', '<IP>', 'g'),
+                '{_PII_PHONE}', '<PHONE>', 'g') AS clean_text
+            FROM m
+        """,
+        # benchmark = doc_id % 97 == 0; corpus docs with doc_id % 7 == 3
+        # carry a planted 12-token benchmark snippet; 5-gram md5-hash
+        # overlap, min_hits = 3
+        "q_decontaminate": """
+            WITH b AS (SELECT doc_id, text FROM documents
+                       WHERE doc_id % 97 = 0),
+            brn AS (SELECT row_number() OVER (ORDER BY doc_id) - 1 AS rn,
+                           array_to_string(
+                             string_split(lower(text), ' ')[1:12], ' ')
+                             AS snippet
+                    FROM b),
+            c AS (SELECT d.doc_id,
+                         d.text || coalesce(' ' || s.snippet, '') AS text
+                  FROM (SELECT doc_id, text,
+                          CASE WHEN doc_id % 7 = 3
+                          THEN doc_id % (SELECT count(*) FROM brn)
+                          ELSE -1 END AS key
+                        FROM documents WHERE doc_id % 97 != 0) d
+                  LEFT JOIN brn s ON d.key = s.rn),
+            ct AS (SELECT doc_id, list_filter(
+                     string_split(lower(text), ' '), x -> x != '') AS toks
+                   FROM c),
+            cg AS (SELECT DISTINCT doc_id,
+                     ('0x' || substring(md5(
+                        array_to_string(toks[i:i+4], ' ')), 1, 12))::BIGINT
+                       AS h
+                   FROM ct, unnest(range(1, greatest(len(toks) - 4, 0) + 1))
+                     AS u(i)
+                   WHERE len(toks) >= 5),
+            bt AS (SELECT doc_id, list_filter(
+                     string_split(lower(text), ' '), x -> x != '') AS toks
+                   FROM b),
+            bg AS (SELECT DISTINCT
+                     ('0x' || substring(md5(
+                        array_to_string(toks[i:i+4], ' ')), 1, 12))::BIGINT
+                       AS h
+                   FROM bt, unnest(range(1, greatest(len(toks) - 4, 0) + 1))
+                     AS u(i)
+                   WHERE len(toks) >= 5)
+            SELECT cg.doc_id,
+                   count(*)::BIGINT AS n_grams,
+                   sum(CASE WHEN bg.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                     AS n_hits,
+                   round(sum(CASE WHEN bg.h IS NOT NULL THEN 1 ELSE 0 END)
+                         / count(*), 4) AS contamination,
+                   sum(CASE WHEN bg.h IS NOT NULL THEN 1 ELSE 0 END) >= 3
+                     AS contaminated
+            FROM cg LEFT JOIN bg USING (h)
+            GROUP BY cg.doc_id
         """,
         # the full clean-corpus composition: exact reps -> 3-shingle
         # minhash banding -> verified jaccard pairs -> recursive CC

@@ -726,3 +726,63 @@ def test_canonical_url_edge_cases(spark):
         "doc_id long, url string")
     kept = {r["doc_id"] for r in urls.dedup_by_canonical(dupes).collect()}
     assert kept == {10, 12}
+
+
+# ------------------------------------------------------- pii / decontam
+
+
+def test_pii_scrub_spec(spark):
+    """PII scrubbing (kgre/pii.py): per-class counts on the original
+    text, sequential email->IP->phone replacement; the dialect-portable
+    patterns must NOT match near-misses (3-octet 'IPs', phones without
+    '+', emails without a TLD, version strings like v1.2.3.4)."""
+    from kgre import pii
+
+    rows = [
+        (0, "reach me at a.b+c@sub.ex.co or x@y.io thanks"),
+        (1, "server 192.168.0.1 and 10.0.0.255 up"),
+        (2, "call +44 7911 123456 or +1 555-0187 now"),
+        (3, "no pii here at all"),
+        (4, "mixed a@b.com 1.2.3.4 +1 555-0100"),
+        (5, "not an ip 1.2.3 nor phone 555-0187 nor email a@b"),
+        (6, "version v1.2.3.4 tag"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii.scrub_pii(df).collect()}
+    counts = {i: (got[i]["n_email"], got[i]["n_ip"], got[i]["n_phone"])
+              for i in range(7)}
+    assert counts == {0: (2, 0, 0), 1: (0, 2, 0), 2: (0, 0, 2),
+                      3: (0, 0, 0), 4: (1, 1, 1), 5: (0, 0, 0),
+                      6: (0, 0, 0)}
+    assert got[4]["clean_text"] == "mixed <EMAIL> <IP> <PHONE>"
+    assert got[5]["clean_text"] == rows[5][1]  # untouched
+    assert got[0]["clean_text"] == "reach me at <EMAIL> or <EMAIL> thanks"
+
+
+def test_decontaminate_flags_planted(spark):
+    """Benchmark decontamination (kgre/decontam.py): full-overlap doc
+    flagged, single-shared-gram doc below min_hits stays, <n-token doc
+    excluded from stats but KEPT by drop_contaminated."""
+    from kgre import decontam
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame([
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        (2, "totally different words with no overlap at all here"),
+        (3, "short doc"),
+        (4, "one alpha beta gamma delta epsilon stray tail words"),
+    ], "doc_id long, text string")
+    stats = {r["doc_id"]: r
+             for r in decontam.decontaminate(corpus, bench, n=5,
+                                             min_hits=2).collect()}
+    assert 3 not in stats  # cannot form a 5-gram
+    assert stats[1]["contaminated"] and stats[1]["n_hits"] == 4 \
+        and stats[1]["n_grams"] == 5
+    assert stats[2]["n_hits"] == 0 and not stats[2]["contaminated"]
+    assert stats[4]["n_hits"] == 1 and not stats[4]["contaminated"]
+    kept = {r["doc_id"]
+            for r in decontam.drop_contaminated(corpus, bench, n=5,
+                                                min_hits=2).collect()}
+    assert kept == {2, 3, 4}

@@ -166,3 +166,27 @@ def test_linking_and_clean_have_no_cartesian(spark):
         plan = _plan(df)
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pii_scrub_is_map_only(spark):
+    """PII scrubbing must stay a zero-shuffle scan: no Exchange in the
+    plan, all three regexes inside one codegen'd projection."""
+    from kgre import pii
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(pii.scrub_pii(docs))
+    assert "Exchange" not in plan, plan
+
+
+def test_decontaminate_benchmark_side_is_broadcast(spark):
+    """The benchmark n-gram set is the small side by definition — the
+    overlap join must be a BroadcastHashJoin (map-side), and nothing in
+    the plan may fall back to CartesianProduct/BNLJ."""
+    from kgre import decontam
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.filter("doc_id % 97 = 0")
+    plan = _plan(decontam.decontaminate(docs, bench))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
