@@ -48,9 +48,14 @@ def clean_documents(docs: DataFrame, neardup_threshold: float = 0.6,
                     min_quality: float = 0.1,
                     lang_threshold: float = 0.08,
                     manifest: list | None = None,
-                    max_bucket: int | None = 10_000) -> DataFrame:
+                    max_bucket: int | None = 10_000,
+                    url_col: str | None = None) -> DataFrame:
     """documents -> surviving documents (same schema).
 
+    0. (optional, ``url_col``) canonical-URL dedup — keep the min doc_id
+       per canonical URL (kgre.urls): on a crawl corpus the cheapest
+       collapse runs FIRST, before any byte-level hashing touches the
+       (much larger) text column;
     1. exact dedup — keep the min doc_id per identical raw text;
     2. near-dup collapse — MinHash-LSH pairs over the survivors,
        connected components over the pair graph (zero-padded string ids
@@ -74,6 +79,17 @@ def clean_documents(docs: DataFrame, neardup_threshold: float = 0.6,
         if manifest is not None:
             manifest.append((stage, rows_in, rows_out,
                              int((time.time() - t0) * 1000)))
+
+    if url_col is not None:
+        from kgre import urls
+
+        nu0 = docs.count() if manifest is not None else None
+        t0 = time.time()
+        docs = (urls.dedup_by_canonical(docs, id_col="doc_id",
+                                        url_col=url_col)
+                .select(*docs.columns))
+        note("url_dedup", nu0, docs.count() if manifest is not None
+             else None, t0)
 
     n0 = docs.count() if manifest is not None else None
     t0 = time.time()

@@ -303,7 +303,8 @@ def mode_clean(spark, args):
                             min_quality=args.min_quality,
                             lang_threshold=args.lang_threshold,
                             manifest=stages,
-                            max_bucket=args.max_bucket or None)
+                            max_bucket=args.max_bucket or None,
+                            url_col=args.url_col)
     clean.write.mode("overwrite").parquet(args.out + "/clean_docs")
     clean = spark.read.parquet(args.out + "/clean_docs")
     by_stage = {s[0]: s for s in stages}
@@ -332,9 +333,13 @@ def mode_clean(spark, args):
                               emit_threshold=0.5)
     write_triples(emitted_triples(scored), args.out + "/triples")
     n_triples = spark.read.parquet(args.out + "/triples").count()
-    print("CLEAN ok: docs %d -> exact %d -> neardup %d -> quality %d; "
+    url_note = ""
+    if "url_dedup" in by_stage:
+        url_note = ("url %d -> %d; "
+                    % (by_stage["url_dedup"][1], by_stage["url_dedup"][2]))
+    print("CLEAN ok: %sdocs %d -> exact %d -> neardup %d -> quality %d; "
           "triples=%d; capped_buckets=%d capped_rows=%d"
-          % (n0, n1, n2, n3, n_triples, capped_b, capped_r))
+          % (url_note, n0, n1, n2, n3, n_triples, capped_b, capped_r))
 
 
 MODES = {"build": mode_build, "score": mode_score, "predict": mode_predict,
@@ -398,6 +403,10 @@ def main(argv=None):
     p.add_argument("--lang-threshold", type=float, default=0.08,
                    help="clean mode: language-ID stopword-density cutoff "
                         "for keeping a doc as English")
+    p.add_argument("--url-col", default=None,
+                   help="clean mode: name of a URL column to dedup by "
+                        "canonical URL (kgre.urls) BEFORE the text "
+                        "stages; omit for corpora without URLs")
     p.add_argument("--max-bucket", type=int, default=10_000,
                    help="clean mode: LSH band-bucket width cap for the "
                         "near-dup stage (0 = uncapped); capped "

@@ -786,3 +786,29 @@ def test_decontaminate_flags_planted(spark):
             for r in decontam.drop_contaminated(corpus, bench, n=5,
                                                 min_hits=2).collect()}
     assert kept == {2, 3, 4}
+
+
+def test_clean_url_dedup_stage(spark):
+    """clean_documents(url_col=...): canonical-URL dedup runs FIRST —
+    docs whose urls canonicalize identically collapse to the min doc_id
+    even when their texts differ (crawl refetches drift), then the text
+    stages run on the survivors; schema is preserved and the manifest
+    gains a url_dedup row."""
+    from kgre.clean import clean_documents
+
+    good = ("the quick brown fox and the lazy dog were in a big house "
+            "with a cat on the mat and they all sat by the fire")
+    rows = [
+        (0, good, "https://ex.com/a?b=1&a=2"),
+        (1, good + " refetched later", "HTTPS://EX.com:443/a?a=2&utm_source=x&b=1"),
+        (2, good + " other page entirely", "https://ex.com/b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    manifest: list = []
+    kept = clean_documents(docs, min_quality=0.0, lang_threshold=0.02,
+                           neardup_threshold=0.95, manifest=manifest,
+                           url_col="url")
+    assert kept.columns == ["doc_id", "text", "url"]
+    assert {r["doc_id"] for r in kept.collect()} == {0, 2}
+    stages = {s[0]: s for s in manifest}
+    assert stages["url_dedup"][1] == 3 and stages["url_dedup"][2] == 2
