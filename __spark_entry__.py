@@ -481,6 +481,20 @@ def _q_decontaminate(spark, sf_dir):
     return decontam.decontaminate(corpus, bench, n=5, min_hits=3)
 
 
+def _q_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (kgre/textstats.py): docs with
+    doc_id % 4 == 0 are doubled (text appended to itself), so the
+    duplicate-3-gram and top-3-gram fractions must spike exactly
+    there."""
+    d = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(d % 4 == 0, F.concat(F.lit(" "), F.col("text")))
+        .otherwise(F.lit("")))
+    docs = _docs(spark, sf_dir).select("doc_id", t.alias("text"))
+    return textstats.repetition_stats(docs, n=3)
+
+
 def _q_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_docs(spark, sf_dir))
 
@@ -722,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_canonical": _q_url_canonical,
         "q_pii_scrub": _q_pii_scrub,
         "q_decontaminate": _q_decontaminate,
+        "q_repetition": _q_repetition,
         # multimodal plumbing
         "q_multimodal_meta": _q_multimodal_meta,
         "q_frame_sample": _q_frame_sample,
@@ -1364,6 +1379,32 @@ def oracle_sql() -> dict[str, str]:
                 '{_PII_IP}', '<IP>', 'g'),
                 '{_PII_PHONE}', '<PHONE>', 'g') AS clean_text
             FROM m
+        """,
+        # docs with doc_id % 4 == 0 doubled -> dup/top 3-gram fractions
+        # spike exactly there
+        "q_repetition": """
+            WITH m AS (
+              SELECT doc_id,
+                text || (CASE WHEN doc_id % 4 = 0 THEN ' ' || text
+                         ELSE '' END) AS text
+              FROM documents),
+            t AS (SELECT doc_id, list_filter(
+                    string_split(lower(text), ' '), x -> x != '') AS toks
+                  FROM m),
+            g AS (SELECT doc_id,
+                    ('0x' || substring(md5(
+                       array_to_string(toks[i:i+2], ' ')), 1, 12))::BIGINT
+                      AS h
+                  FROM t, unnest(range(1, greatest(len(toks) - 2, 0) + 1))
+                    AS u(i)
+                  WHERE len(toks) >= 3),
+            c AS (SELECT doc_id, h, count(*) AS cnt FROM g GROUP BY 1, 2)
+            SELECT doc_id,
+                   sum(cnt)::BIGINT AS n_grams,
+                   count(*)::BIGINT AS n_distinct,
+                   round(1 - count(*) / sum(cnt), 4) AS dup_frac,
+                   round(max(cnt) / sum(cnt), 4) AS top_frac
+            FROM c GROUP BY doc_id
         """,
         # benchmark = doc_id % 97 == 0; corpus docs with doc_id % 7 == 3
         # carry a planted 12-token benchmark snippet; 5-gram md5-hash

@@ -66,6 +66,16 @@ DOC_BENCH_QUERIES = [
 ]
 
 
+# Round-5 training-data additions (--data-ops): benched under their own
+# metric so the cross-round headline total stays comparable.
+DATA_OPS_QUERIES = [
+    "q_url_canonical",      # parse_url canonicalization, map-only
+    "q_pii_scrub",          # 3-regex redaction, map-only
+    "q_decontaminate",      # 5-gram overlap vs broadcast benchmark set
+    "q_repetition",         # Gopher dup/top n-gram fractions
+]
+
+
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -424,6 +434,33 @@ def run_scaling() -> None:
     }))
 
 
+def run_data_ops() -> None:
+    """Bench the r5 training-data additions at the headline sf on the
+    headline protocol (warm session, min-of-2)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("kgre-dataops-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    qs = entry_mod.queries()
+    _force(qs["q_url_canonical"](spark, sf_dir))  # warm workers/JVM
+    timings, all_passes = _min_of_passes(spark, qs, DATA_OPS_QUERIES,
+                                         sf_dir)
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = sf_dir
+    print(json.dumps({
+        "metric": "kgre_dataops_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "passes": all_passes,
+        "sf": sf,
+        "agg": "min-of-2",
+    }))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "--scaling-one" in sys.argv:
         i = sys.argv.index("--scaling-one")
@@ -437,6 +474,8 @@ if __name__ == "__main__":
         run_scaling()
     elif "--big-docs" in sys.argv:
         run_big_docs()
+    elif "--data-ops" in sys.argv:
+        run_data_ops()
     elif "--corenlp" in sys.argv:
         run_corenlp()
     else:

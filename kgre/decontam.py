@@ -24,18 +24,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def ngram_hashes(docs: DataFrame, n: int = 5, text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
-    """Distinct word-``n``-gram hashes per document: lower-case,
-    whitespace-tokenize (empty tokens dropped), hash each n-token window.
-    Documents with fewer than ``n`` tokens contribute no rows."""
+def ngram_hash_stream(docs: DataFrame, n: int = 5, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """The raw (one row per window position, duplicates included)
+    word-``n``-gram hash stream: lower-case, whitespace-tokenize (empty
+    tokens dropped), hash each n-token window.  Documents with fewer
+    than ``n`` tokens contribute no rows.  Shared by decontamination
+    (which distincts it) and textstats.repetition_stats (which counts
+    the duplicates — they ARE its signal)."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), " "),
                     lambda t: t != "")
     base = (docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
             .filter(F.size("toks") >= n))
     # explode + slice + hash fuse into one codegen stage: the exploded
     # rows never materialize the token array past the hash projection
-    grams = base.select(
+    return base.select(
         "doc_id",
         F.explode(F.sequence(F.lit(1), F.size("toks") - (n - 1)))
         .alias("i"),
@@ -46,7 +49,12 @@ def ngram_hashes(docs: DataFrame, n: int = 5, text_col: str = "text",
             F.md5(F.array_join(F.slice("toks", F.col("i"), n), " ")),
             1, 12), 16, 10).cast("bigint").alias("h"),
     )
-    return grams.distinct()
+
+
+def ngram_hashes(docs: DataFrame, n: int = 5, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Distinct word-``n``-gram hashes per document."""
+    return ngram_hash_stream(docs, n, text_col, id_col).distinct()
 
 
 def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 5,

@@ -128,3 +128,31 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 over case/punctuation-normalized text
     (the stable identity used for exact dedup and lineage)."""
     return docs.select("doc_id", F.md5(normalized_text()).alias("fp"))
+
+
+def repetition_stats(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021
+    §A1.1: pages dominated by repeated phrases are boilerplate/spam):
+    per doc, the fraction of word-``n``-gram OCCURRENCES that are
+    duplicates of an earlier one (``dup_frac = 1 - distinct/total``) and
+    the fraction claimed by the single most frequent n-gram
+    (``top_frac``).  Docs with fewer than ``n`` tokens emit no row.
+
+    Shape: the narrow (doc_id, hash) stream from
+    ``decontam.ngram_hash_stream`` → count per (doc, gram) → per-doc
+    rollup.  Both aggregations partial-aggregate map-side; the second
+    shuffle carries one row per DISTINCT gram, already collapsed."""
+    from kgre.decontam import ngram_hash_stream
+
+    per_gram = (ngram_hash_stream(docs, n)
+                .groupBy("doc_id", "h").agg(F.count("*").alias("cnt")))
+    return (per_gram.groupBy("doc_id")
+            .agg(F.sum("cnt").cast("long").alias("n_grams"),
+                 F.count("*").alias("n_distinct"),
+                 F.max("cnt").alias("top_cnt"))
+            .select(
+                "doc_id", "n_grams", "n_distinct",
+                F.round(1 - F.col("n_distinct") / F.col("n_grams"), 4)
+                .alias("dup_frac"),
+                F.round(F.col("top_cnt") / F.col("n_grams"), 4)
+                .alias("top_frac")))

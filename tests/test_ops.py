@@ -812,3 +812,25 @@ def test_clean_url_dedup_stage(spark):
     assert {r["doc_id"] for r in kept.collect()} == {0, 2}
     stages = {s[0]: s for s in manifest}
     assert stages["url_dedup"][1] == 3 and stages["url_dedup"][2] == 2
+
+
+def test_repetition_stats(spark):
+    """Gopher repetition signals: all-unique grams -> dup_frac 0; a
+    repeated phrase raises dup_frac/top_frac by exactly the expected
+    counts; <n-token docs emit no row."""
+    from kgre import textstats
+
+    rows = [
+        (0, "a b c a b c"),     # grams: abc bca cab abc -> 4 total 3 distinct
+        (1, "one two three four five"),  # 3 grams, all unique
+        (2, "x y"),             # too short
+        (3, "spam spam spam spam spam spam"),  # 4 grams, 1 distinct
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r
+           for r in textstats.repetition_stats(df, n=3).collect()}
+    assert 2 not in got
+    assert (got[0]["n_grams"], got[0]["n_distinct"]) == (4, 3)
+    assert got[0]["dup_frac"] == 0.25 and got[0]["top_frac"] == 0.5
+    assert got[1]["dup_frac"] == 0.0 and got[1]["n_grams"] == 3
+    assert got[3]["dup_frac"] == 0.75 and got[3]["top_frac"] == 1.0
