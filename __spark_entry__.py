@@ -499,6 +499,18 @@ def _q_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_docs(spark, sf_dir))
 
 
+def _q_split_sample(spark, sf_dir):
+    """Deterministic hash-based train/val/test split + subsample flag
+    (kgre/sampling.py).  Pure md5 arithmetic on doc_id, so the oracle
+    recomputes the identical assignment in DuckDB — per-row, not just
+    distributionally."""
+    from kgre import sampling
+    docs = _docs(spark, sf_dir).select("doc_id")
+    out = sampling.split_by_hash(docs, "doc_id")
+    samp = (sampling.hash_frac("doc_id", "s1") < 2500).cast("int")
+    return out.withColumn("sampled", samp)
+
+
 def _q_multimodal_meta(spark, sf_dir):
     blobs = multimodal.blobs_from_documents(_docs(spark, sf_dir))
     return multimodal.decode_metadata(blobs)
@@ -737,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_scrub": _q_pii_scrub,
         "q_decontaminate": _q_decontaminate,
         "q_repetition": _q_repetition,
+        "q_split_sample": _q_split_sample,
         # multimodal plumbing
         "q_multimodal_meta": _q_multimodal_meta,
         "q_frame_sample": _q_frame_sample,
@@ -1405,6 +1418,23 @@ def oracle_sql() -> dict[str, str]:
                    round(1 - count(*) / sum(cnt), 4) AS dup_frac,
                    round(max(cnt) / sum(cnt), 4) AS top_frac
             FROM c GROUP BY doc_id
+        """,
+        # split: md5(doc_id) -> bucket in [0,10000); 90/5/5 cutoffs;
+        # sample: independent salt 's1', rate 0.25 -> bucket < 2500
+        "q_split_sample": """
+            WITH b AS (
+              SELECT doc_id,
+                ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                  % 10000 AS f,
+                ('0x' || substr(md5(doc_id::VARCHAR || 's1'), 1, 8))::BIGINT
+                  % 10000 AS fs
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN f < 9000 THEN 'train'
+                        WHEN f < 9500 THEN 'val'
+                        ELSE 'test' END AS split,
+                   CASE WHEN fs < 2500 THEN 1 ELSE 0 END AS sampled
+            FROM b
         """,
         # benchmark = doc_id % 97 == 0; corpus docs with doc_id % 7 == 3
         # carry a planted 12-token benchmark snippet; 5-gram md5-hash

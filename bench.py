@@ -73,6 +73,7 @@ DATA_OPS_QUERIES = [
     "q_pii_scrub",          # 3-regex redaction, map-only
     "q_decontaminate",      # 5-gram overlap vs broadcast benchmark set
     "q_repetition",         # Gopher dup/top n-gram fractions
+    "q_split_sample",       # md5 hash-bucket split + subsample, map-only
 ]
 
 

@@ -834,3 +834,63 @@ def test_repetition_stats(spark):
     assert got[0]["dup_frac"] == 0.25 and got[0]["top_frac"] == 0.5
     assert got[1]["dup_frac"] == 0.0 and got[1]["n_grams"] == 3
     assert got[3]["dup_frac"] == 0.75 and got[3]["top_frac"] == 1.0
+
+
+# ------------------------------------------------------------------ sampling
+
+
+def test_split_by_hash_deterministic_and_layout_invariant(spark):
+    """Split assignment is a pure function of the id: identical across
+    reruns and unchanged when the partition layout changes (the property
+    rand()/df.sample cannot give)."""
+    from kgre import sampling
+
+    ids = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"]
+         for r in sampling.split_by_hash(ids, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in sampling.split_by_hash(
+             ids.repartition(7), "doc_id").collect()}
+    assert a == b
+    # 90/5/5 must be roughly respected on 2000 uniform ids
+    from collections import Counter
+    c = Counter(a.values())
+    assert 0.85 < c["train"] / 2000 < 0.95
+    assert 0.02 < c["val"] / 2000 < 0.08
+    assert 0.02 < c["test"] / 2000 < 0.08
+
+
+def test_split_weights_and_salt(spark):
+    from kgre import sampling
+
+    ids = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        sampling.split_by_hash(ids, "doc_id", {"a": 0.5, "b": 0.4})
+    # independent salts decorrelate: assignments must not be identical
+    a = [r["split"] for r in
+         sampling.split_by_hash(ids, "doc_id").orderBy("doc_id").collect()]
+    b = [r["split"] for r in
+         sampling.split_by_hash(ids, "doc_id", salt="x")
+         .orderBy("doc_id").collect()]
+    assert a != b
+    # custom weights: two-way split covers every row
+    two = sampling.split_by_hash(ids, "doc_id", {"l": 0.5, "r": 0.5})
+    assert two.filter(~F.col("split").isin("l", "r")).count() == 0
+
+
+def test_hash_sample_subset_and_rate(spark):
+    from kgre import sampling
+
+    ids = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        sampling.hash_sample(ids, 1.5)
+    kept = sampling.hash_sample(ids, 0.25, "doc_id", salt="s1")
+    n = kept.count()
+    assert 0.20 * 2000 < n < 0.30 * 2000
+    # deterministic: second run returns the identical id set
+    again = sampling.hash_sample(ids, 0.25, "doc_id", salt="s1")
+    assert set(r["doc_id"] for r in kept.collect()) == \
+        set(r["doc_id"] for r in again.collect())
+    # rate 0 / 1 degenerate cases
+    assert sampling.hash_sample(ids, 0.0).count() == 0
+    assert sampling.hash_sample(ids, 1.0).count() == 2000
