@@ -499,6 +499,37 @@ def _q_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_docs(spark, sf_dir))
 
 
+def _host_docs(spark, sf_dir):
+    """documents + a deterministic skewed host column: ~1/13 of docs
+    spread across up to 50 rare hosts, the rest concentrated on 3 big
+    hosts — the heavy-tailed shape cap_per_host exists for."""
+    d = F.col("doc_id")
+    host = (F.when(d % 13 == 0,
+                   F.concat(F.lit("rare"), (d % 50).cast("string"),
+                            F.lit(".example.com")))
+            .otherwise(F.concat(F.lit("big"), (d % 3).cast("string"),
+                                F.lit(".example.com"))))
+    return _docs(spark, sf_dir).select("doc_id", host.alias("host"),
+                                       "text")
+
+
+def _q_host_stats(spark, sf_dir):
+    """Per-host corpus stats (kgre/urls.py host_stats): one partial-agg
+    groupBy, host-cardinality output."""
+    from kgre import urls
+    return urls.host_stats(_host_docs(spark, sf_dir))
+
+
+def _q_cap_per_host(spark, sf_dir):
+    """Domain balancing (kgre/urls.py cap_per_host): exactly the 10
+    smallest (md5-bucket, doc_id) rows per host; big hosts rank through
+    the hash-prefiltered window, rare hosts pass through join-only."""
+    from kgre import urls
+    out = urls.cap_per_host(
+        _host_docs(spark, sf_dir).select("doc_id", "host"), k=10)
+    return out.select("doc_id", "host")
+
+
 def _q_split_sample(spark, sf_dir):
     """Deterministic hash-based train/val/test split + subsample flag
     (kgre/sampling.py).  Pure md5 arithmetic on doc_id, so the oracle
@@ -750,6 +781,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": _q_decontaminate,
         "q_repetition": _q_repetition,
         "q_split_sample": _q_split_sample,
+        "q_host_stats": _q_host_stats,
+        "q_cap_per_host": _q_cap_per_host,
         # multimodal plumbing
         "q_multimodal_meta": _q_multimodal_meta,
         "q_frame_sample": _q_frame_sample,
@@ -1418,6 +1451,39 @@ def oracle_sql() -> dict[str, str]:
                    round(1 - count(*) / sum(cnt), 4) AS dup_frac,
                    round(max(cnt) / sum(cnt), 4) AS top_frac
             FROM c GROUP BY doc_id
+        """,
+        # host = rare<doc_id%50> when doc_id%13==0 else big<doc_id%3>
+        "q_host_stats": """
+            WITH u AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 13 = 0
+                     THEN 'rare' || (doc_id % 50)::VARCHAR || '.example.com'
+                     ELSE 'big' || (doc_id % 3)::VARCHAR || '.example.com'
+                END AS host, text
+              FROM documents)
+            SELECT host, count(*) AS n_docs,
+                   sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
+                   sum(length(text))::BIGINT AS total_chars,
+                   round(avg(length(text)), 4) AS mean_chars
+            FROM u GROUP BY host
+        """,
+        # keep the 10 smallest (md5-bucket, doc_id) per host
+        "q_cap_per_host": """
+            WITH u AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 13 = 0
+                     THEN 'rare' || (doc_id % 50)::VARCHAR || '.example.com'
+                     ELSE 'big' || (doc_id % 3)::VARCHAR || '.example.com'
+                END AS host
+              FROM documents),
+            b AS (SELECT doc_id, host,
+                    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                      % 10000 AS bk
+                  FROM u),
+            r AS (SELECT doc_id, host, row_number() OVER
+                    (PARTITION BY host ORDER BY bk, doc_id) AS rn
+                  FROM b)
+            SELECT doc_id, host FROM r WHERE rn <= 10
         """,
         # split: md5(doc_id) -> bucket in [0,10000); 90/5/5 cutoffs;
         # sample: independent salt 's1', rate 0.25 -> bucket < 2500

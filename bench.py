@@ -74,6 +74,8 @@ DATA_OPS_QUERIES = [
     "q_decontaminate",      # 5-gram overlap vs broadcast benchmark set
     "q_repetition",         # Gopher dup/top n-gram fractions
     "q_split_sample",       # md5 hash-bucket split + subsample, map-only
+    "q_host_stats",         # per-host partial-agg groupBy
+    "q_cap_per_host",       # domain balancing, hash-prefiltered rank
 ]
 
 

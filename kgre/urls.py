@@ -70,3 +70,75 @@ def dedup_by_canonical(df: DataFrame, id_col: str = "doc_id",
     keep = (canon.groupBy("canon_url")
             .agg(F.min(id_col).alias(id_col)).select(id_col))
     return canon.join(keep, id_col)
+
+
+def host_stats(df: DataFrame, host_col: str = "host",
+               text_col: str = "text") -> DataFrame:
+    """Per-host corpus statistics (docs, tokens, chars, mean length) —
+    the first report any crawl triage produces.  One groupBy shuffle
+    with map-side partial aggregation; the output is host-cardinality
+    sized, never corpus sized."""
+    toks = F.split(F.col(text_col), " ")
+    return (df.groupBy(host_col)
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.size(toks)).alias("total_tokens"),
+                 F.sum(F.length(text_col)).alias("total_chars"),
+                 F.round(F.avg(F.length(text_col)), 4).alias("mean_chars")))
+
+
+def cap_per_host(df: DataFrame, k: int, host_col: str = "host",
+                 id_col: str = "doc_id", salt: str = "",
+                 margin: float = 4.0, stats: dict | None = None
+                 ) -> DataFrame:
+    """Domain balancing: keep at most ``k`` docs per host — exactly the
+    ``k`` smallest ``(hash_bucket, id)`` per host, so the selection is
+    deterministic, layout-invariant, and oracle-reproducible.
+
+    Scale shape (heavy-tailed crawls have a few mega-hosts and millions
+    of tiny ones):
+
+    * hosts at-or-under the cap pass through a broadcast hash join only
+      — no ranking, no per-host window;
+    * over-cap hosts are PRE-FILTERED by a per-host hash cutoff
+      (expected ~``margin * k`` survivors each), so the exact
+      ``row_number`` window never sees a mega-host's full row set in
+      one partition;
+    * a per-host survivor count check falls back to the unfiltered rows
+      for any host whose prefilter undershot ``k`` (hash variance), so
+      the result is exact regardless of ``margin``.
+
+    The corpus is scanned twice (tag + fallback branch); the fallback
+    branch filters to nothing unless a host actually undershot.
+    """
+    from pyspark.sql import Window
+
+    from kgre.sampling import _BUCKETS, hash_frac
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    counts = df.groupBy(host_col).agg(F.count("*").alias("_host_n"))
+    hot = counts.filter(F.col("_host_n") > k)
+    tagged = df.join(F.broadcast(hot), host_col, "left")
+    cold = tagged.filter(F.col("_host_n").isNull()).drop("_host_n")
+    hotrows = (tagged.filter(F.col("_host_n").isNotNull())
+               .withColumn("_bucket", hash_frac(id_col, salt)))
+    cutoff = F.least(
+        F.lit(_BUCKETS).cast("long"),
+        F.ceil(F.lit(float(k) * margin * _BUCKETS) / F.col("_host_n")))
+    pref = hotrows.filter(F.col("_bucket") < cutoff)
+    got = pref.groupBy(host_col).agg(F.count("*").alias("_got_n"))
+    under = (hot.join(got, host_col, "left")
+             .filter(F.coalesce(F.col("_got_n"), F.lit(0)) < k)
+             .select(host_col))
+    rank_in = (pref.join(F.broadcast(under), host_col, "left_anti")
+               .unionByName(
+                   hotrows.join(F.broadcast(under), host_col,
+                                "left_semi")))
+    w = Window.partitionBy(host_col).orderBy("_bucket", id_col)
+    kept_hot = (rank_in.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= k)
+                .drop("_rn", "_bucket", "_host_n"))
+    if stats is not None:
+        stats["hot_hosts"] = hot.count()
+        stats["fallback_hosts"] = under.count()
+    return cold.unionByName(kept_hot)

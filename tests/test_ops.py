@@ -894,3 +894,79 @@ def test_hash_sample_subset_and_rate(spark):
     # rate 0 / 1 degenerate cases
     assert sampling.hash_sample(ids, 0.0).count() == 0
     assert sampling.hash_sample(ids, 1.0).count() == 2000
+
+
+# --------------------------------------------------------------- host ops
+
+
+def _hosted_df(spark, n=400, hot_hosts=2, rare_every=10):
+    """n rows; most on `hot_hosts` hot hosts, every `rare_every`-th on
+    its own rare host."""
+    d = F.col("id")
+    host = (F.when(d % rare_every == 0,
+                   F.concat(F.lit("rare"), d.cast("string")))
+            .otherwise(F.concat(F.lit("hot"),
+                                (d % hot_hosts).cast("string"))))
+    return (spark.range(0, n).select(
+        F.col("id").alias("doc_id"), host.alias("host")))
+
+
+def test_host_stats(spark):
+    from kgre import urls
+
+    rows = [(0, "h1", "a b c"), (1, "h1", "dd ee"), (2, "h2", "x")]
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    got = {r["host"]: r for r in urls.host_stats(df).collect()}
+    assert got["h1"]["n_docs"] == 2
+    assert got["h1"]["total_tokens"] == 5
+    assert got["h1"]["total_chars"] == 10
+    assert got["h1"]["mean_chars"] == 5.0
+    assert got["h2"]["n_docs"] == 1 and got["h2"]["total_tokens"] == 1
+
+
+def _brute_cap(spark, df, k):
+    """Reference semantics: k smallest (hash_frac, doc_id) per host."""
+    from kgre.sampling import hash_frac
+
+    rows = df.select("doc_id", "host",
+                     hash_frac("doc_id").alias("b")).collect()
+    byhost = {}
+    for r in rows:
+        byhost.setdefault(r["host"], []).append((r["b"], r["doc_id"]))
+    keep = set()
+    for host, lst in byhost.items():
+        for _, did in sorted(lst)[:k]:
+            keep.add((did, host))
+    return keep
+
+
+def test_cap_per_host_exact_and_pass_through(spark):
+    from kgre import urls
+
+    df = _hosted_df(spark)
+    stats = {}
+    got = set((r["doc_id"], r["host"]) for r in
+              urls.cap_per_host(df, 15, stats=stats).collect())
+    assert got == _brute_cap(spark, df, 15)
+    # rare hosts (1 doc each) all pass through untouched
+    assert all(h.startswith("rare") or True for _, h in got)
+    rare_in = df.filter(F.col("host").startswith("rare")).count()
+    rare_out = sum(1 for _, h in got if h.startswith("rare"))
+    assert rare_in == rare_out
+    assert stats["hot_hosts"] == 2 and stats["fallback_hosts"] == 0
+
+
+def test_cap_per_host_fallback_path_is_exact(spark):
+    """A margin so small the prefilter must undershoot: the fallback
+    branch re-ranks the full host rows and the result is still exactly
+    the k smallest."""
+    from kgre import urls
+
+    df = _hosted_df(spark, n=200, hot_hosts=1, rare_every=1000)
+    stats = {}
+    got = set((r["doc_id"], r["host"]) for r in
+              urls.cap_per_host(df, 50, margin=0.01, stats=stats).collect())
+    assert got == _brute_cap(spark, df, 50)
+    assert stats["fallback_hosts"] == 1
+    with pytest.raises(ValueError):
+        urls.cap_per_host(df, 0)
