@@ -530,6 +530,20 @@ def _q_cap_per_host(spark, sf_dir):
     return out.select("doc_id", "host")
 
 
+def _q_cross_doc_spans(spark, sf_dir):
+    """Cross-document repeated-span stats (kgre/dedup.py
+    cross_doc_span_stats): docs with doc_id % 5 == 0 carry a planted
+    11-token shared snippet, so exactly their in-snippet 8-gram windows
+    must count as cross-doc duplicated."""
+    d = F.col("doc_id")
+    snippet = (" planted shared span alpha bravo charlie delta echo"
+               " foxtrot golf hotel")
+    t = F.concat(F.col("text"),
+                 F.when(d % 5 == 0, F.lit(snippet)).otherwise(F.lit("")))
+    docs = _docs(spark, sf_dir).select("doc_id", t.alias("text"))
+    return dedup.cross_doc_span_stats(docs, n=8, min_docs=2)
+
+
 def _q_split_sample(spark, sf_dir):
     """Deterministic hash-based train/val/test split + subsample flag
     (kgre/sampling.py).  Pure md5 arithmetic on doc_id, so the oracle
@@ -781,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": _q_decontaminate,
         "q_repetition": _q_repetition,
         "q_split_sample": _q_split_sample,
+        "q_cross_doc_spans": _q_cross_doc_spans,
         "q_host_stats": _q_host_stats,
         "q_cap_per_host": _q_cap_per_host,
         # multimodal plumbing
@@ -1451,6 +1466,36 @@ def oracle_sql() -> dict[str, str]:
                    round(1 - count(*) / sum(cnt), 4) AS dup_frac,
                    round(max(cnt) / sum(cnt), 4) AS top_frac
             FROM c GROUP BY doc_id
+        """,
+        # docs with doc_id%5==0 carry a planted 11-token shared snippet;
+        # 8-gram windows appearing in >=2 distinct docs count as dup
+        "q_cross_doc_spans": """
+            WITH m AS (
+              SELECT doc_id,
+                text || (CASE WHEN doc_id % 5 = 0
+                         THEN ' planted shared span alpha bravo charlie'
+                              || ' delta echo foxtrot golf hotel'
+                         ELSE '' END) AS text
+              FROM documents),
+            t AS (SELECT doc_id, list_filter(
+                    string_split(lower(text), ' '), x -> x != '') AS toks
+                  FROM m),
+            g AS (SELECT doc_id,
+                    ('0x' || substring(md5(
+                       array_to_string(toks[i:i+7], ' ')), 1, 12))::BIGINT
+                      AS h
+                  FROM t, unnest(range(1, greatest(len(toks) - 7, 0) + 1))
+                    AS u(i)
+                  WHERE len(toks) >= 8),
+            pg AS (SELECT doc_id, h, count(*) AS cnt FROM g GROUP BY 1, 2),
+            dg AS (SELECT h, count(*) AS nd FROM pg GROUP BY h)
+            SELECT pg.doc_id,
+                   sum(cnt)::BIGINT AS n_windows,
+                   sum(CASE WHEN nd >= 2 THEN cnt ELSE 0 END)::BIGINT
+                     AS n_dup_windows,
+                   round(sum(CASE WHEN nd >= 2 THEN cnt ELSE 0 END)
+                         / sum(cnt), 4) AS dup_frac
+            FROM pg JOIN dg USING (h) GROUP BY pg.doc_id
         """,
         # host = rare<doc_id%50> when doc_id%13==0 else big<doc_id%3>
         "q_host_stats": """

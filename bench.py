@@ -76,6 +76,7 @@ DATA_OPS_QUERIES = [
     "q_split_sample",       # md5 hash-bucket split + subsample, map-only
     "q_host_stats",         # per-host partial-agg groupBy
     "q_cap_per_host",       # domain balancing, hash-prefiltered rank
+    "q_cross_doc_spans",    # span-level cross-doc dup, no pair explosion
 ]
 
 

@@ -383,3 +383,35 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
         .filter(F.col("hamming") <= max_hamming)
         .select("d1", "d2", "hamming")
     )
+
+
+def cross_doc_span_stats(docs: DataFrame, n: int = 8,
+                         min_docs: int = 2) -> DataFrame:
+    """Span-level cross-document duplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": verbatim
+    passages repeated ACROSS documents — licenses, boilerplate, mirrored
+    articles — that whole-doc dedup cannot see).  Per doc: total word-
+    ``n``-gram windows, windows whose gram also appears in at least
+    ``min_docs`` distinct documents, and the covered fraction
+    (``dup_frac``) — threshold it to drop boilerplate-dominated pages.
+
+    Shape (the reference method builds a corpus-wide suffix array; a
+    shuffle-native equivalent): the narrow (doc_id, hash) window stream
+    → per-(doc, gram) counts (partial-agg) → per-gram distinct-doc
+    counts (partial-agg, one row per distinct gram) → hash-keyed join
+    back → per-doc rollup.  No pair explosion anywhere: hot grams cost
+    one counter row, never a self-join."""
+    from kgre.decontam import ngram_hash_stream
+
+    per_doc_gram = (ngram_hash_stream(docs, n)
+                    .groupBy("doc_id", "h").agg(F.count("*").alias("cnt")))
+    docs_per_gram = (per_doc_gram.groupBy("h")
+                     .agg(F.count("*").alias("nd")))
+    dup = F.when(F.col("nd") >= min_docs, F.col("cnt")).otherwise(F.lit(0))
+    return (per_doc_gram.join(docs_per_gram, "h")
+            .groupBy("doc_id")
+            .agg(F.sum("cnt").cast("long").alias("n_windows"),
+                 F.sum(dup).cast("long").alias("n_dup_windows"))
+            .select("doc_id", "n_windows", "n_dup_windows",
+                    F.round(F.col("n_dup_windows") / F.col("n_windows"), 4)
+                    .alias("dup_frac")))

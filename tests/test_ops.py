@@ -970,3 +970,32 @@ def test_cap_per_host_fallback_path_is_exact(spark):
     assert stats["fallback_hosts"] == 1
     with pytest.raises(ValueError):
         urls.cap_per_host(df, 0)
+
+
+def test_cross_doc_span_stats(spark):
+    """Two docs sharing a verbatim 8-token passage: exactly the windows
+    inside the shared passage are cross-doc dup; a doc with no shared
+    span has dup_frac 0; short docs emit no row."""
+    shared = "one two three four five six seven eight"  # 8 tokens
+    rows = [
+        (0, shared + " tailA tailB"),      # 3 windows, 1 shared
+        (1, "headX " + shared),            # 2 windows, 1 shared
+        (2, "a b c d e f g h"),            # 1 window, unshared
+        (3, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from kgre import dedup as dd
+    got = {r["doc_id"]: r
+           for r in dd.cross_doc_span_stats(df, n=8).collect()}
+    assert 3 not in got
+    assert (got[0]["n_windows"], got[0]["n_dup_windows"]) == (3, 1)
+    assert (got[1]["n_windows"], got[1]["n_dup_windows"]) == (2, 1)
+    assert got[1]["dup_frac"] == 0.5
+    assert got[2]["n_dup_windows"] == 0 and got[2]["dup_frac"] == 0.0
+    # a gram repeated WITHIN one doc only is not cross-doc dup
+    intra = spark.createDataFrame(
+        [(0, shared + " " + shared), (1, "i j k l m n o p")],
+        "doc_id long, text string")
+    g2 = {r["doc_id"]: r
+          for r in dd.cross_doc_span_stats(intra, n=8).collect()}
+    assert g2[0]["n_dup_windows"] == 0
