@@ -107,8 +107,15 @@ def cap_per_host(df: DataFrame, k: int, host_col: str = "host",
       for any host whose prefilter undershot ``k`` (hash variance), so
       the result is exact regardless of ``margin``.
 
-    The corpus is scanned twice (tag + fallback branch); the fallback
-    branch filters to nothing unless a host actually undershot.
+    The corpus is scanned four times (host counts; cold pass-through;
+    prefilter; fallback branch — the last filters to nothing unless a
+    host actually undershot), each a column-pruned parquet scan.  That
+    trade is deliberate: the alternative — shuffling the WHOLE corpus by
+    host into one window — moves every payload byte for rows the cap
+    never touches, which is strictly worse at crawl scale.  Verified
+    plan shape (Spark 4): every join broadcast, and the ``rn <= k``
+    filter compiles to ``WindowGroupLimit`` — the rank stage keeps only
+    k rows per host per partition, never a mega-host's full row set.
     """
     from pyspark.sql import Window
 
