@@ -513,6 +513,18 @@ def _host_docs(spark, sf_dir):
                                        "text")
 
 
+def _q_lm_perplexity(spark, sf_dir):
+    """CCNet-style bigram-LM perplexity scoring (kgre/lm.py): train a
+    Laplace bigram LM on the doc_id % 3 == 0 reference slice, score
+    every doc's bits-per-token.  Every probability is a ratio of
+    integer counts, so DuckDB reproduces the scores exactly."""
+    from kgre import lm
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bigrams, ctx, vocab = lm.train_bigram_lm(
+        docs.filter(F.col("doc_id") % 3 == 0))
+    return lm.bits_per_token(docs, bigrams, ctx, vocab)
+
+
 def _q_host_stats(spark, sf_dir):
     """Per-host corpus stats (kgre/urls.py host_stats): one partial-agg
     groupBy, host-cardinality output."""
@@ -796,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition": _q_repetition,
         "q_split_sample": _q_split_sample,
         "q_cross_doc_spans": _q_cross_doc_spans,
+        "q_lm_perplexity": _q_lm_perplexity,
         "q_host_stats": _q_host_stats,
         "q_cap_per_host": _q_cap_per_host,
         # multimodal plumbing
@@ -1466,6 +1479,39 @@ def oracle_sql() -> dict[str, str]:
                    round(1 - count(*) / sum(cnt), 4) AS dup_frac,
                    round(max(cnt) / sum(cnt), 4) AS top_frac
             FROM c GROUP BY doc_id
+        """,
+        # Laplace bigram LM trained on the doc_id%3==0 slice;
+        # P(w|prev) = (c+1)/(cp+V); bits = -avg(ln p)/ln 2
+        "q_lm_perplexity": """
+            WITH tr AS (
+              SELECT doc_id, list_filter(
+                string_split(lower(text), ' '), x -> x != '') AS toks
+              FROM documents WHERE doc_id % 3 = 0),
+            trb AS (SELECT toks[i] AS prev, toks[i+1] AS w
+                    FROM tr, unnest(range(1, greatest(len(toks) - 1, 0) + 1))
+                      AS u(i)
+                    WHERE len(toks) >= 2),
+            bc AS (SELECT prev, w, count(*) AS c FROM trb GROUP BY 1, 2),
+            cc AS (SELECT prev, count(*) AS cp FROM trb GROUP BY 1),
+            v AS (SELECT count(DISTINCT x) AS vs
+                  FROM (SELECT unnest(toks) AS x FROM tr)),
+            sc AS (
+              SELECT doc_id, list_filter(
+                string_split(lower(text), ' '), x -> x != '') AS toks
+              FROM documents),
+            sp AS (SELECT doc_id, toks[i] AS prev, toks[i+1] AS w
+                   FROM sc, unnest(range(1, greatest(len(toks) - 1, 0) + 1))
+                     AS u(i)
+                   WHERE len(toks) >= 2),
+            j AS (SELECT sp.doc_id,
+                    ln((coalesce(bc.c, 0) + 1.0)
+                       / (coalesce(cc.cp, 0) + v.vs)) AS lp
+                  FROM sp LEFT JOIN bc USING (prev, w)
+                          LEFT JOIN cc USING (prev)
+                          CROSS JOIN v)
+            SELECT doc_id, count(*) AS n_terms,
+                   round(-avg(lp) / ln(2), 4) AS bits
+            FROM j GROUP BY doc_id
         """,
         # docs with doc_id%5==0 carry a planted 11-token shared snippet;
         # 8-gram windows appearing in >=2 distinct docs count as dup

@@ -999,3 +999,44 @@ def test_cross_doc_span_stats(spark):
     g2 = {r["doc_id"]: r
           for r in dd.cross_doc_span_stats(intra, n=8).collect()}
     assert g2[0]["n_dup_windows"] == 0
+
+
+# --------------------------------------------------------------- bigram LM
+
+
+def test_bigram_lm_bits_hand_computed(spark):
+    """Train on 'a b a c': P(b|a)=2/5, P(a|b)=1/2, P(c|a)=2/5 under
+    Laplace with V=3; unseen contexts fall back to 1/V."""
+    import math
+
+    from kgre import lm
+
+    train = spark.createDataFrame([(0, "a b a c")],
+                                  "doc_id long, text string")
+    bigrams, ctx, vocab = lm.train_bigram_lm(train)
+    score = spark.createDataFrame(
+        [(1, "a b"), (2, "z q"), (3, "a b a c"), (4, "solo")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r
+           for r in lm.bits_per_token(score, bigrams, ctx, vocab).collect()}
+    assert 4 not in got                       # <2 tokens: no row
+    assert got[1]["n_terms"] == 1
+    assert got[1]["bits"] == round(-math.log2(0.4), 4)
+    assert got[2]["bits"] == round(math.log2(3), 4)       # uniform 1/V
+    expect3 = round(-(math.log2(0.4) + math.log2(0.5)
+                      + math.log2(0.4)) / 3, 4)
+    assert got[3]["bits"] == expect3
+
+
+def test_perplexity_filter(spark):
+    from kgre import lm
+
+    train = spark.createDataFrame([(0, "a b a c")],
+                                  "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(0, "a b a c"), (1, "a b"), (2, "z q"), (3, "solo")],
+        "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in
+                  lm.perplexity_filter(docs, train, max_bits=1.4).collect())
+    # 2 ('z q', 1.585 bits) dropped; 3 kept unscored (too short)
+    assert kept == [0, 1, 3]
