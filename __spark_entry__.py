@@ -513,6 +513,17 @@ def _host_docs(spark, sf_dir):
                                        "text")
 
 
+def _q_token_budget(spark, sf_dir):
+    """Data-mixing token quotas (kgre/sampling.py token_budget_sample):
+    keep docs per source in deterministic (md5-bucket, doc_id) order
+    while the running whitespace-token total stays ≤ 700.  The oracle is
+    the plain one-window cumulative sum the two-phase plan must equal."""
+    from kgre import sampling
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    out = sampling.token_budget_sample(docs, 700)
+    return out.select("doc_id", "source")
+
+
 def _q_lm_perplexity(spark, sf_dir):
     """CCNet-style bigram-LM perplexity scoring (kgre/lm.py): train a
     Laplace bigram LM on the doc_id % 3 == 0 reference slice, score
@@ -809,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_split_sample": _q_split_sample,
         "q_cross_doc_spans": _q_cross_doc_spans,
         "q_lm_perplexity": _q_lm_perplexity,
+        "q_token_budget": _q_token_budget,
         "q_host_stats": _q_host_stats,
         "q_cap_per_host": _q_cap_per_host,
         # multimodal plumbing
@@ -1479,6 +1491,21 @@ def oracle_sql() -> dict[str, str]:
                    round(1 - count(*) / sum(cnt), 4) AS dup_frac,
                    round(max(cnt) / sum(cnt), 4) AS top_frac
             FROM c GROUP BY doc_id
+        """,
+        # greedy per-source take in (md5-bucket, doc_id) order while the
+        # inclusive running token total stays <= 700
+        "q_token_budget": """
+            WITH t AS (
+              SELECT doc_id, source,
+                len(string_split(text, ' ')) AS nt,
+                ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                  % 10000 AS bk
+              FROM documents),
+            c AS (SELECT doc_id, source,
+                    sum(nt) OVER (PARTITION BY source ORDER BY bk, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM t)
+            SELECT doc_id, source FROM c WHERE cum <= 700
         """,
         # Laplace bigram LM trained on the doc_id%3==0 slice;
         # P(w|prev) = (c+1)/(cp+V); bits = -avg(ln p)/ln 2

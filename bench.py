@@ -78,6 +78,7 @@ DATA_OPS_QUERIES = [
     "q_cap_per_host",       # domain balancing, hash-prefiltered rank
     "q_cross_doc_spans",    # span-level cross-doc dup, no pair explosion
     "q_lm_perplexity",      # CCNet-style bigram-LM bits-per-token
+    "q_token_budget",       # per-source token quotas, two-phase cumsum
 ]
 
 

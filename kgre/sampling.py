@@ -59,3 +59,74 @@ def hash_sample(df: DataFrame, rate: float, id_col: str = "doc_id",
     if not 0.0 <= rate <= 1.0:
         raise ValueError("rate must be in [0, 1]")
     return df.filter(hash_frac(id_col, salt) < int(round(rate * _BUCKETS)))
+
+
+def token_budget_sample(df: DataFrame, budgets, source_col: str = "source",
+                        id_col: str = "doc_id", text_col: str = "text",
+                        salt: str = "") -> DataFrame:
+    """Data mixing: greedily take docs per source — in deterministic
+    (hash-bucket, id) order — while the running whitespace-token total
+    stays within the source's budget (the per-source token quota step of
+    an LLM training-mix recipe; Gopher/Llama-style source reweighting).
+    ``budgets``: tokens per source, a single int for all sources or a
+    ``{source: tokens}`` dict (sources absent from the dict pass
+    through unsampled).
+
+    A doc is kept iff its INCLUSIVE running total ≤ budget — exactly the
+    semantics of one cumulative-sum window per source, but computed in
+    two phases so no source's full row set ever lands in one window
+    partition:
+
+    1. per-(source, bucket) token sums (partial-agg; ≤ 10k rows per
+       source) + a running total over that tiny table classify every
+       bucket as fully-kept (total through it ≤ budget), fully-dropped
+       (prior total already ≥ budget; token counts are ≥ 1, so nothing
+       in it can fit), or THE boundary bucket (at most one per source);
+    2. only boundary-bucket rows (~1/10000 of a source) flow through
+       the exact per-doc cumulative window.
+
+    Everything else is a broadcast join against the bucket-status table.
+    """
+    from pyspark.sql import Window
+
+    toks = F.size(F.split(F.col(text_col), " "))
+    b = hash_frac(id_col, salt)
+    base = df.withColumn("_nt", toks).withColumn("_bk", b)
+
+    if isinstance(budgets, dict):
+        spark = df.sparkSession
+        bdf = spark.createDataFrame(
+            [(s, int(t)) for s, t in budgets.items()],
+            f"{source_col} string, _budget long")
+        base = base.join(F.broadcast(bdf), source_col, "left")
+    else:
+        base = base.withColumn("_budget", F.lit(int(budgets)))
+    unlimited = base.filter(F.col("_budget").isNull()) \
+                    .drop("_nt", "_bk", "_budget")
+    base = base.filter(F.col("_budget").isNotNull())
+
+    per_bucket = (base.groupBy(source_col, "_bk", "_budget")
+                  .agg(F.sum("_nt").alias("_bt")))
+    wb = (Window.partitionBy(source_col).orderBy("_bk")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    status = per_bucket.select(
+        source_col, "_bk",
+        (F.sum("_bt").over(wb) - F.col("_bt")).alias("_prev"),
+        F.sum("_bt").over(wb).alias("_incl"), "_budget")
+    full = status.filter(F.col("_incl") <= F.col("_budget")) \
+                 .select(source_col, "_bk")
+    boundary = status.filter((F.col("_prev") < F.col("_budget"))
+                             & (F.col("_incl") > F.col("_budget"))) \
+                     .select(source_col, "_bk", "_prev")
+
+    kept_full = base.join(F.broadcast(full), [source_col, "_bk"],
+                          "left_semi").drop("_nt", "_bk", "_budget")
+    brows = base.join(F.broadcast(boundary), [source_col, "_bk"])
+    wd = (Window.partitionBy(source_col).orderBy(id_col)
+          .rowsBetween(Window.unboundedPreceding, 0))
+    kept_boundary = (brows
+                     .withColumn("_cum", F.col("_prev")
+                                 + F.sum("_nt").over(wd))
+                     .filter(F.col("_cum") <= F.col("_budget"))
+                     .drop("_nt", "_bk", "_budget", "_prev", "_cum"))
+    return unlimited.unionByName(kept_full).unionByName(kept_boundary)

@@ -1040,3 +1040,48 @@ def test_perplexity_filter(spark):
                   lm.perplexity_filter(docs, train, max_bits=1.4).collect())
     # 2 ('z q', 1.585 bits) dropped; 3 kept unscored (too short)
     assert kept == [0, 1, 3]
+
+
+def test_token_budget_sample_matches_one_window_semantics(spark):
+    """The two-phase bucket plan must equal the plain per-source
+    cumulative-window rule: keep iff inclusive running token total (in
+    (hash-bucket, id) order) <= budget."""
+    from kgre import sampling
+
+    rows = [(i, f"s{i % 3}", "w " * (i % 7 + 1)) for i in range(300)]
+    df = spark.createDataFrame(
+        [(i, s, t.strip()) for i, s, t in rows],
+        "doc_id long, source string, text string")
+    budget = 120
+    got = sorted(r["doc_id"] for r in
+                 sampling.token_budget_sample(df, budget).collect())
+
+    # brute reference
+    data = df.select("doc_id", "source", "text",
+                     sampling.hash_frac("doc_id").alias("b")).collect()
+    keep = []
+    for s in {"s0", "s1", "s2"}:
+        cum = 0
+        for r in sorted((r for r in data if r["source"] == s),
+                        key=lambda r: (r["b"], r["doc_id"])):
+            cum += len(r["text"].split(" "))
+            if cum <= budget:
+                keep.append(r["doc_id"])
+    assert got == sorted(keep)
+
+
+def test_token_budget_sample_dict_budgets_and_passthrough(spark):
+    from kgre import sampling
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 10 else "b", "one two three") for i in range(20)],
+        "doc_id long, source string, text string")
+    # 'a' capped at 9 tokens -> 3 docs; 'b' absent -> passes through whole
+    out = sampling.token_budget_sample(df, {"a": 9})
+    by = {}
+    for r in out.collect():
+        by.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(by["a"]) == 3 and len(by["b"]) == 10
+    # budget 0: nothing from 'a'
+    none = sampling.token_budget_sample(df, {"a": 0, "b": 0})
+    assert none.count() == 0
