@@ -49,7 +49,13 @@ def clean_documents(docs: DataFrame, neardup_threshold: float = 0.6,
                     lang_threshold: float = 0.08,
                     manifest: list | None = None,
                     max_bucket: int | None = 10_000,
-                    url_col: str | None = None) -> DataFrame:
+                    url_col: str | None = None,
+                    max_rep_frac: float | None = None,
+                    max_bits: float | None = None,
+                    lm_train_docs: DataFrame | None = None,
+                    decontam_bench: DataFrame | None = None,
+                    host_cap: int | None = None,
+                    token_budget: int | dict | None = None) -> DataFrame:
     """documents -> surviving documents (same schema).
 
     0. (optional, ``url_col``) canonical-URL dedup — keep the min doc_id
@@ -64,6 +70,24 @@ def clean_documents(docs: DataFrame, neardup_threshold: float = 0.6,
     3. quality + language — composite stopword/vowel score >=
        ``min_quality`` AND stopword-density language-ID == 'en' at
        ``lang_threshold``.
+
+    Optional stages (each off by default; ordered dedup -> doc-level
+    quality -> corpus shaping, so the cheap collapses run before any
+    per-window work and the quota stages see only the docs that
+    survive quality):
+
+    4. (``max_rep_frac``) Gopher repetition filter — drop docs whose
+       duplicate-3-gram fraction exceeds it (too-short-to-score docs
+       are kept; length rules are separate);
+    5. (``max_bits``) bigram-LM perplexity filter (kgre.lm), trained on
+       ``lm_train_docs`` or, when None, on the surviving docs
+       themselves (self-referential outlier pruning);
+    6. (``decontam_bench``) benchmark decontamination — anti-join docs
+       overlapping the bench set by >= 3 5-gram window hits;
+    7. (``host_cap``, requires ``url_col``) domain balancing — at most
+       ``host_cap`` docs per canonical host (kgre.urls.cap_per_host);
+    8. (``token_budget``) per-source token quotas
+       (kgre.sampling.token_budget_sample), int or {source: tokens}.
 
     ``manifest``: optional list receiving one
     ``(stage, rows_in, rows_out, wall_ms)`` tuple per stage (forces a
@@ -142,6 +166,71 @@ def clean_documents(docs: DataFrame, neardup_threshold: float = 0.6,
                 & (F.col("lang_pred") == "en"))
         .drop("quality", "lang_pred"))
     if manifest is not None:
-        n3 = clean.count()
-        note("quality_lang", n2, n3, t0)
+        # with a manifest every optional stage counts its output; cut
+        # the lineage here (and after each optional stage below) so the
+        # per-stage counts are linear, not a quadratic recompute of the
+        # whole dedup/CC chain per stage
+        clean = stage_checkpoint(clean, eager=False)
+    n3 = clean.count() if manifest is not None else None
+    note("quality_lang", n2, n3, t0)
+    prev = n3
+
+    def cut(df):
+        return stage_checkpoint(df, eager=False) \
+            if manifest is not None else df
+
+    if max_rep_frac is not None:
+        t0 = time.time()
+        rep = textstats.repetition_stats(clean, n=3)
+        noisy = (rep.filter(F.col("dup_frac") > max_rep_frac)
+                 .select("doc_id"))
+        clean = cut(clean.join(noisy, "doc_id", "left_anti"))
+        cur = clean.count() if manifest is not None else None
+        note("repetition", prev, cur, t0)
+        prev = cur
+
+    if max_bits is not None:
+        from kgre import lm
+
+        t0 = time.time()
+        train = lm_train_docs if lm_train_docs is not None else clean
+        bigrams, ctx, vocab = lm.train_bigram_lm(train)
+        scores = lm.bits_per_token(clean, bigrams, ctx, vocab)
+        bad = scores.filter(F.col("bits") > max_bits).select("doc_id")
+        clean = cut(clean.join(bad, "doc_id", "left_anti"))
+        cur = clean.count() if manifest is not None else None
+        note("perplexity", prev, cur, t0)
+        prev = cur
+
+    if decontam_bench is not None:
+        from kgre import decontam
+
+        t0 = time.time()
+        clean = cut(decontam.drop_contaminated(clean, decontam_bench,
+                                               n=5, min_hits=3))
+        cur = clean.count() if manifest is not None else None
+        note("decontaminate", prev, cur, t0)
+        prev = cur
+
+    if host_cap is not None:
+        from kgre import urls
+
+        if url_col is None:
+            raise ValueError("host_cap requires url_col")
+        t0 = time.time()
+        hosted = clean.withColumn("_host", urls.canonical_host(url_col))
+        clean = cut(urls.cap_per_host(hosted, host_cap,
+                                     host_col="_host").drop("_host"))
+        cur = clean.count() if manifest is not None else None
+        note("host_cap", prev, cur, t0)
+        prev = cur
+
+    if token_budget is not None:
+        from kgre import sampling
+
+        t0 = time.time()
+        clean = cut(sampling.token_budget_sample(clean, token_budget))
+        cur = clean.count() if manifest is not None else None
+        note("token_budget", prev, cur, t0)
+
     return clean

@@ -298,13 +298,22 @@ def mode_clean(spark, args):
     if not args.documents:
         raise SystemExit("clean mode requires --documents <parquet>")
     docs = spark.read.parquet(args.documents).persist()
+    if args.host_cap is not None and args.url_col is None:
+        raise SystemExit("--host-cap requires --url-col")
+    bench = (spark.read.parquet(args.decontam_bench)
+             if args.decontam_bench else None)
     stages: list = []
     clean = clean_documents(docs, neardup_threshold=args.neardup_threshold,
                             min_quality=args.min_quality,
                             lang_threshold=args.lang_threshold,
                             manifest=stages,
                             max_bucket=args.max_bucket or None,
-                            url_col=args.url_col)
+                            url_col=args.url_col,
+                            max_rep_frac=args.max_rep_frac,
+                            max_bits=args.max_bits,
+                            decontam_bench=bench,
+                            host_cap=args.host_cap,
+                            token_budget=args.token_budget)
     clean.write.mode("overwrite").parquet(args.out + "/clean_docs")
     clean = spark.read.parquet(args.out + "/clean_docs")
     by_stage = {s[0]: s for s in stages}
@@ -337,9 +346,14 @@ def mode_clean(spark, args):
     if "url_dedup" in by_stage:
         url_note = ("url %d -> %d; "
                     % (by_stage["url_dedup"][1], by_stage["url_dedup"][2]))
-    print("CLEAN ok: %sdocs %d -> exact %d -> neardup %d -> quality %d; "
+    extra = [s for s in stages
+             if s[0] in ("repetition", "perplexity", "decontaminate",
+                         "host_cap", "token_budget")]
+    extra_note = "".join(" -> %s %d" % (s[0], s[2]) for s in extra)
+    print("CLEAN ok: %sdocs %d -> exact %d -> neardup %d -> quality %d%s; "
           "triples=%d; capped_buckets=%d capped_rows=%d"
-          % (url_note, n0, n1, n2, n3, n_triples, capped_b, capped_r))
+          % (url_note, n0, n1, n2, n3, extra_note, n_triples,
+             capped_b, capped_r))
 
 
 MODES = {"build": mode_build, "score": mode_score, "predict": mode_predict,
@@ -407,6 +421,23 @@ def main(argv=None):
                    help="clean mode: name of a URL column to dedup by "
                         "canonical URL (kgre.urls) BEFORE the text "
                         "stages; omit for corpora without URLs")
+    p.add_argument("--max-rep-frac", type=float, default=None,
+                   help="clean mode: drop docs whose duplicate-3-gram "
+                        "fraction (Gopher repetition signal) exceeds this")
+    p.add_argument("--max-bits", type=float, default=None,
+                   help="clean mode: drop docs scoring above this "
+                        "bits-per-token under a bigram LM trained on the "
+                        "surviving docs (CCNet-style perplexity filter)")
+    p.add_argument("--decontam-bench", default=None,
+                   help="clean mode: parquet of benchmark docs (doc_id, "
+                        "text); drop corpus docs sharing >= 3 5-gram "
+                        "windows with it")
+    p.add_argument("--host-cap", type=int, default=None,
+                   help="clean mode: keep at most this many docs per "
+                        "canonical host (requires --url-col)")
+    p.add_argument("--token-budget", type=int, default=None,
+                   help="clean mode: per-source token quota "
+                        "(deterministic greedy take in hash order)")
     p.add_argument("--max-bucket", type=int, default=10_000,
                    help="clean mode: LSH band-bucket width cap for the "
                         "near-dup stage (0 = uncapped); capped "

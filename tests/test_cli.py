@@ -286,3 +286,16 @@ def test_cli_reliable_checkpoint_flag(spark, tmp_path, monkeypatch):
     a = sorted(map(tuple, spark.read.parquet(plain + "/vocab").collect()))
     b = sorted(map(tuple, spark.read.parquet(rel + "/vocab").collect()))
     assert a == b and a
+
+
+def test_cli_clean_optional_flag_validation(spark, tmp_path, monkeypatch):
+    """--host-cap without --url-col is rejected before any Spark work."""
+    docs_dir = str(tmp_path / "d")
+    spark.createDataFrame([(0, "the quick fox", "en")],
+                          "doc_id long, text string, lang string") \
+        .write.parquet(docs_dir)
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    with pytest.raises(SystemExit):
+        cli.main(["clean", "--documents", docs_dir, "--host-cap", "5",
+                  "--out", str(tmp_path / "o")])

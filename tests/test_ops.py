@@ -1085,3 +1085,59 @@ def test_token_budget_sample_dict_budgets_and_passthrough(spark):
     # budget 0: nothing from 'a'
     none = sampling.token_budget_sample(df, {"a": 0, "b": 0})
     assert none.count() == 0
+
+
+# --------------------------------------------------- clean: optional stages
+
+
+def test_clean_documents_optional_stages(spark):
+    """The r5 optional stages compose after quality_lang in order
+    (repetition -> perplexity -> decontaminate -> host_cap ->
+    token_budget), each with a manifest row, defaults-off semantics
+    preserved."""
+    from kgre.clean import clean_documents
+
+    base_text = "the quick brown fox and the lazy dog run over a hill"
+    rows = []
+    for i in range(8):
+        rows.append((i, base_text + f" extra{i}", "en", "s0",
+                     "http://big.example.com/p%d" % i))
+    # survives dedup/quality/lang but is pure repetition
+    rows.append((100, "the the the the the the the the the the", "en",
+                 "s0", "http://big.example.com/rep"))
+    # contaminated: equals the bench doc
+    rows.append((101, base_text + " benchmarked words here", "en", "s1",
+                 "http://other.example.com/c"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " url string")
+    bench = spark.createDataFrame(
+        [(0, base_text + " benchmarked words here")],
+        "doc_id long, text string")
+
+    man: list = []
+    out = clean_documents(
+        docs, min_quality=0.0, lang_threshold=0.02, manifest=man,
+        url_col="url", max_rep_frac=0.5, max_bits=50.0,
+        decontam_bench=bench, host_cap=3, token_budget=10_000)
+    kept = sorted(r["doc_id"] for r in out.collect())
+
+    stages = [s[0] for s in man]
+    assert stages == ["url_dedup", "exact_dedup", "near_dedup",
+                      "near_dedup_caps", "quality_lang", "repetition",
+                      "perplexity", "decontaminate", "host_cap",
+                      "token_budget"]
+    by = {s[0]: s for s in man}
+    assert 100 not in kept                       # repetition-dropped
+    assert by["repetition"][1] - by["repetition"][2] == 1
+    assert by["perplexity"][1] == by["perplexity"][2]  # 50 bits drops none
+    assert 101 not in kept                       # decontaminated
+    assert by["decontaminate"][1] - by["decontaminate"][2] == 1
+    # 8 near-dup'd big.example.com docs collapse below the host cap or
+    # cap to exactly 3 — either way the cap bound holds
+    assert sum(1 for d in kept if d < 100) <= 3
+    assert by["host_cap"][2] == len(kept)        # huge budget drops none
+    assert by["token_budget"][2] == len(kept)
+    # host_cap without url_col is a usage error
+    with pytest.raises(ValueError):
+        clean_documents(docs, host_cap=3)
