@@ -513,6 +513,33 @@ def _host_docs(spark, sf_dir):
                                        "text")
 
 
+def _line_docs(spark, sf_dir):
+    """documents re-laid-out as multi-line text (5-token lines); docs
+    with doc_id % 4 == 1 get a planted boilerplate line occurring
+    corpus-wide, which C4 line-dedup must strip from every copy."""
+    d = F.col("doc_id")
+    toks = F.split(F.col("text"), " ")
+    nl = F.ceil(F.size(toks) / F.lit(5.0)).cast("int")
+    linetext = F.array_join(
+        F.transform(F.sequence(F.lit(1), nl),
+                    lambda j: F.array_join(
+                        F.slice(toks, j * 5 - 4, 5), " ")),
+        "\n")
+    t = (F.when(d % 4 == 1,
+                F.concat(linetext,
+                         F.lit("\nthis line is boilerplate everywhere")))
+         .otherwise(linetext))
+    return _docs(spark, sf_dir).select("doc_id", t.alias("text"))
+
+
+def _q_line_dedup(spark, sf_dir):
+    """C4 line-level corpus dedup (kgre/lines.py): every copy of any
+    line occurring >= 3 times corpus-wide is removed, docs rebuilt from
+    the survivors in original line order."""
+    from kgre import lines
+    return lines.dedup_lines(_line_docs(spark, sf_dir), min_count=3)
+
+
 def _q_token_budget(spark, sf_dir):
     """Data-mixing token quotas (kgre/sampling.py token_budget_sample):
     keep docs per source in deterministic (md5-bucket, doc_id) order
@@ -821,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cross_doc_spans": _q_cross_doc_spans,
         "q_lm_perplexity": _q_lm_perplexity,
         "q_token_budget": _q_token_budget,
+        "q_line_dedup": _q_line_dedup,
         "q_host_stats": _q_host_stats,
         "q_cap_per_host": _q_cap_per_host,
         # multimodal plumbing
@@ -1491,6 +1519,36 @@ def oracle_sql() -> dict[str, str]:
                    round(1 - count(*) / sum(cnt), 4) AS dup_frac,
                    round(max(cnt) / sum(cnt), 4) AS top_frac
             FROM c GROUP BY doc_id
+        """,
+        # 5-token lines; doc_id%4==1 docs carry a planted boilerplate
+        # line; every copy of any line occurring >=3x is removed
+        "q_line_dedup": """
+            WITH m AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 4 = 1
+                     THEN lt || chr(10)
+                          || 'this line is boilerplate everywhere'
+                     ELSE lt END AS text
+              FROM (
+                SELECT doc_id,
+                  array_to_string(list_transform(
+                    range(1, cast(ceil(len(toks) / 5.0) AS INT) + 1),
+                    j -> array_to_string(toks[(j*5-4):(j*5)], ' ')),
+                    chr(10)) AS lt
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                      FROM documents))),
+            ml AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+                   FROM m),
+            l AS (SELECT doc_id, i AS line_no, ls[i] AS line
+                  FROM ml, unnest(range(1, len(ls) + 1)) AS u(i)),
+            hot AS (SELECT line FROM l GROUP BY line
+                    HAVING count(*) >= 3),
+            k AS (SELECT * FROM l
+                  WHERE line NOT IN (SELECT line FROM hot))
+            SELECT m.doc_id,
+                   coalesce(string_agg(k.line, chr(10)
+                                       ORDER BY k.line_no), '') AS text
+            FROM m LEFT JOIN k USING (doc_id) GROUP BY m.doc_id
         """,
         # greedy per-source take in (md5-bucket, doc_id) order while the
         # inclusive running token total stays <= 700

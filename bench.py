@@ -79,6 +79,7 @@ DATA_OPS_QUERIES = [
     "q_cross_doc_spans",    # span-level cross-doc dup, no pair explosion
     "q_lm_perplexity",      # CCNet-style bigram-LM bits-per-token
     "q_token_budget",       # per-source token quotas, two-phase cumsum
+    "q_line_dedup",         # C4 line-level corpus dedup + reassembly
 ]
 
 

@@ -1141,3 +1141,49 @@ def test_clean_documents_optional_stages(spark):
     # host_cap without url_col is a usage error
     with pytest.raises(ValueError):
         clean_documents(docs, host_cap=3)
+
+
+# ------------------------------------------------------------- line cleaning
+
+
+def test_dedup_lines_c4(spark):
+    """Any line occurring >= min_count times corpus-wide is removed from
+    EVERY doc (including intra-doc copies); surviving lines keep their
+    original order; fully-boilerplate docs come back empty."""
+    from kgre import lines
+
+    boiler = "accept cookies to continue"
+    rows = [
+        (0, f"alpha one.\n{boiler}\nbeta two."),
+        (1, f"{boiler}\ngamma three."),
+        (2, f"delta four.\n{boiler}"),
+        (3, boiler),                      # only the hot line -> empty
+        (4, "unique line stays."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"]
+           for r in lines.dedup_lines(df, min_count=3).collect()}
+    assert got[0] == "alpha one.\nbeta two."
+    assert got[1] == "gamma three."
+    assert got[2] == "delta four."
+    assert got[3] == ""
+    assert got[4] == "unique line stays."
+
+
+def test_c4_line_heuristics(spark):
+    from kgre import lines
+
+    rows = [(0, "\n".join([
+        "This line ends properly.",        # keep
+        "no terminal punctuation",         # drop: no . ! ? "
+        "Too short.",                      # drop: < 3 words
+        "Is this kept? Yes it is!",        # keep
+        "Contains a { brace } inside.",    # drop: code marker
+        "Some Lorem Ipsum filler text.",   # drop: lorem ipsum
+        'He said "stop here."',            # keep: closing quote
+    ]))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = lines.c4_filter_lines(df).collect()[0]["text"]
+    assert got == ("This line ends properly.\n"
+                   "Is this kept? Yes it is!\n"
+                   'He said "stop here."')
