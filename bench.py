@@ -231,6 +231,51 @@ def run_big_docs() -> None:
     spark.stop()
 
 
+def run_clean_full() -> None:
+    """Per-stage walls for the FULL clean composition (every r5 optional
+    stage on) at the big-docs scale: exact/near-dup -> quality/lang ->
+    repetition -> perplexity (self-trained bigram LM) -> decontaminate
+    (bench = every 997th doc) -> host cap (synthetic 97-host layout) ->
+    per-source token budget.  Thresholds are chosen to measure the
+    stages' cost, not to maximize drops."""
+    from pyspark.sql import functions as F
+
+    from kgre.clean import clean_documents
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    factor = int(os.environ.get("SPARK_GRAFT_DOCS_FACTOR", "10"))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    big = _materialize_big_docs(sf_dir, factor)
+    spark = get_spark("kgre-bench-cleanfull", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    d = F.col("doc_id")
+    docs = (spark.read.parquet(big + "/documents.parquet")
+            .withColumn("url", F.concat(
+                F.lit("https://big"), (d % 97).cast("string"),
+                F.lit(".example.com/p"), d.cast("string"))))
+    bench_docs = docs.filter(d % 997 == 0).select("doc_id", "text")
+    stages: list = []
+    t0 = time.perf_counter()
+    out = clean_documents(
+        docs, min_quality=0.1, lang_threshold=0.02, manifest=stages,
+        url_col="url", max_rep_frac=0.9, max_bits=20.0,
+        decontam_bench=bench_docs, host_cap=100, token_budget=100_000)
+    n_final = out.count()
+    wall = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "kgre_cleanfull_total",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "stages": {s[0]: {"rows_in": s[1], "rows_out": s[2],
+                          "wall_s": round(s[3] / 1000, 3)}
+                   for s in stages},
+        "n_docs": docs.count(),
+        "n_final": n_final,
+        "sf": f"{os.path.basename(sf_dir.rstrip('/'))}x{factor}",
+    }))
+    spark.stop()
+
+
 # bump when the XML serialization or page derivation changes
 CORENLP_FIXTURE_V = "v1"
 
@@ -483,6 +528,8 @@ if __name__ == "__main__":
         run_big_docs()
     elif "--data-ops" in sys.argv:
         run_data_ops()
+    elif "--clean-full" in sys.argv:
+        run_clean_full()
     elif "--corenlp" in sys.argv:
         run_corenlp()
     else:

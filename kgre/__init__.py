@@ -15,6 +15,11 @@ idiomatic Spark DataFrame DAG over Common-Crawl-style web-page tables:
 All per-row logic runs in Arrow-batched pandas UDFs (no per-row Python
 on the driver path); every join against dictionary-sized state is a
 broadcast; heavy stages repartition on url-hash for even work units.
+
+Alongside the KG path sits a pure-Catalyst training-data-pipeline layer
+(dedup, similarity/ANN, textstats, urls, pii, decontam, sampling, lm,
+lines, clean) — the corpus-hygiene operators a web-scale crawl needs
+before construction, composed end-to-end by the `clean` CLI mode.
 """
 
 __version__ = "0.1.0"

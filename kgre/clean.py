@@ -29,19 +29,23 @@ from kgre.session import stage_checkpoint
 # 2^63 as a decimal literal (exceeds long, so it travels as a string
 # cast to decimal); shifting a signed bigint by this lands in [0, 2^64),
 # which fits decimal(20,0) and exactly 20 decimal digits zero-padded.
-_ID_BIAS = F.lit("9223372036854775808").cast("decimal(20,0)")
+# Built lazily: F.lit at module scope would make importing this module
+# require an already-active SparkContext.
+def _id_bias():
+    return F.lit("9223372036854775808").cast("decimal(20,0)")
 
 
 def _encode_id(c: str):
     """Signed-bigint column -> 20-char zero-padded string whose byte
     order equals the numeric order (bias by 2^63 into unsigned)."""
-    biased = (F.col(c).cast("decimal(20,0)") + _ID_BIAS).cast("decimal(20,0)")
+    biased = (F.col(c).cast("decimal(20,0)")
+              + _id_bias()).cast("decimal(20,0)")
     return F.lpad(biased.cast("string"), 20, "0")
 
 
 def _decode_id(c: str):
     """Inverse of :func:`_encode_id`: padded string -> bigint."""
-    return (F.col(c).cast("decimal(20,0)") - _ID_BIAS).cast("long")
+    return (F.col(c).cast("decimal(20,0)") - _id_bias()).cast("long")
 
 
 def clean_documents(docs: DataFrame, neardup_threshold: float = 0.6,
