@@ -54,6 +54,7 @@ def clean_documents(docs: DataFrame, neardup_threshold: float = 0.6,
                     manifest: list | None = None,
                     max_bucket: int | None = 10_000,
                     url_col: str | None = None,
+                    line_dedup_min_count: int | None = None,
                     max_rep_frac: float | None = None,
                     max_bits: float | None = None,
                     lm_train_docs: DataFrame | None = None,
@@ -80,6 +81,12 @@ def clean_documents(docs: DataFrame, neardup_threshold: float = 0.6,
     per-window work and the quota stages see only the docs that
     survive quality):
 
+    3a. (``line_dedup_min_count``) C4 line-level dedup (kgre.lines) —
+       runs FIRST among the text-rewriting stages, right after the
+       URL collapse: every copy of any line occurring >= N times
+       corpus-wide is stripped and doc text rebuilt, so boilerplate
+       lines never pollute the downstream minhash shingles; docs left
+       empty are dropped;
     4. (``max_rep_frac``) Gopher repetition filter — drop docs whose
        duplicate-3-gram fraction exceeds it (too-short-to-score docs
        are kept; length rules are separate);
@@ -117,6 +124,21 @@ def clean_documents(docs: DataFrame, neardup_threshold: float = 0.6,
                                         url_col=url_col)
                 .select(*docs.columns))
         note("url_dedup", nu0, docs.count() if manifest is not None
+             else None, t0)
+
+    if line_dedup_min_count is not None:
+        from kgre import lines as lines_mod
+
+        nld0 = docs.count() if manifest is not None else None
+        t0 = time.time()
+        cols = docs.columns
+        rebuilt = lines_mod.dedup_lines(docs,
+                                        min_count=line_dedup_min_count)
+        docs = (docs.drop("text").join(rebuilt, "doc_id")
+                .filter(F.length("text") > 0).select(*cols))
+        if manifest is not None:
+            docs = stage_checkpoint(docs, eager=False)
+        note("line_dedup", nld0, docs.count() if manifest is not None
              else None, t0)
 
     n0 = docs.count() if manifest is not None else None

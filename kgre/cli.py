@@ -309,6 +309,7 @@ def mode_clean(spark, args):
                             manifest=stages,
                             max_bucket=args.max_bucket or None,
                             url_col=args.url_col,
+                            line_dedup_min_count=args.line_dedup_min_count,
                             max_rep_frac=args.max_rep_frac,
                             max_bits=args.max_bits,
                             decontam_bench=bench,
@@ -347,8 +348,8 @@ def mode_clean(spark, args):
         url_note = ("url %d -> %d; "
                     % (by_stage["url_dedup"][1], by_stage["url_dedup"][2]))
     extra = [s for s in stages
-             if s[0] in ("repetition", "perplexity", "decontaminate",
-                         "host_cap", "token_budget")]
+             if s[0] in ("line_dedup", "repetition", "perplexity",
+                         "decontaminate", "host_cap", "token_budget")]
     extra_note = "".join(" -> %s %d" % (s[0], s[2]) for s in extra)
     print("CLEAN ok: %sdocs %d -> exact %d -> neardup %d -> quality %d%s; "
           "triples=%d; capped_buckets=%d capped_rows=%d"
@@ -421,6 +422,10 @@ def main(argv=None):
                    help="clean mode: name of a URL column to dedup by "
                         "canonical URL (kgre.urls) BEFORE the text "
                         "stages; omit for corpora without URLs")
+    p.add_argument("--line-dedup-min-count", type=int, default=None,
+                   help="clean mode: strip every copy of any line "
+                        "occurring this many times corpus-wide (C4 line "
+                        "dedup) before doc-level dedup")
     p.add_argument("--max-rep-frac", type=float, default=None,
                    help="clean mode: drop docs whose duplicate-3-gram "
                         "fraction (Gopher repetition signal) exceeds this")

@@ -1187,3 +1187,31 @@ def test_c4_line_heuristics(spark):
     assert got == ("This line ends properly.\n"
                    "Is this kept? Yes it is!\n"
                    'He said "stop here."')
+
+
+def test_clean_documents_line_dedup_stage(spark):
+    """line_dedup runs before exact dedup: boilerplate lines are
+    stripped corpus-wide (so text-identical-after-stripping docs then
+    collapse), and docs reduced to nothing disappear."""
+    from kgre.clean import clean_documents
+
+    boiler = "accept all cookies now please friend"
+    body = "the quick brown fox and the lazy dog jumped"
+    rows = [
+        (0, f"{body}\n{boiler}", "en"),
+        (1, f"{boiler}\n{body}", "en"),    # same body after stripping
+        (2, boiler, "en"),                 # only boilerplate -> dropped
+        (3, "a small green bird sits upon an old oak tree", "en"),
+    ]
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, text string, lang string")
+    man: list = []
+    out = clean_documents(docs, min_quality=0.0, lang_threshold=0.02,
+                          manifest=man, line_dedup_min_count=3)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert [s[0] for s in man][:2] == ["line_dedup", "exact_dedup"]
+    by = {s[0]: s for s in man}
+    assert by["line_dedup"] == (by["line_dedup"][0], 4, 3,
+                                by["line_dedup"][3])
+    # 0 and 1 become text-identical -> exact dedup keeps 0 only
+    assert kept == [0, 3]
