@@ -190,3 +190,60 @@ def test_decontaminate_benchmark_side_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_r5_ops_plan_shapes(spark):
+    """Scale-shape pins for the r5 operators: no cartesian anywhere; the
+    cap_per_host rank compiles to WindowGroupLimit (top-k per host, the
+    full host row set is never materialized through the window); the
+    token-budget boundary window is fed by broadcast-joined bucket
+    status, not a whole-corpus shuffle-by-source."""
+    from pyspark.sql import functions as F
+
+    from kgre import dedup, lines, lm, sampling, urls
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    hosted = docs.select(
+        "doc_id", "text", "source",
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"))
+        .alias("host"))
+
+    cap_plan = _plan(urls.cap_per_host(hosted.select("doc_id", "host"), 5))
+    assert "WindowGroupLimit" in cap_plan
+    budget_plan = _plan(sampling.token_budget_sample(hosted, 500))
+    span_plan = _plan(dedup.cross_doc_span_stats(docs, n=8))
+    line_plan = _plan(lines.dedup_lines(docs))
+    bigrams, ctx, vocab = lm.train_bigram_lm(docs)
+    lm_plan = _plan(lm.bits_per_token(docs, bigrams, ctx, vocab))
+
+    for plan in (cap_plan, budget_plan, span_plan, line_plan, lm_plan):
+        assert "CartesianProduct" not in plan
+    # equi-join ops must never nested-loop; the LM scorer is exempt —
+    # its one BroadcastNestedLoopJoin is the deliberate 1-row
+    # vocabulary-size scalar crossJoin(broadcast(...))
+    for plan in (cap_plan, budget_plan, span_plan, line_plan):
+        assert "BroadcastNestedLoopJoin" not in plan
+    import re
+    lm_bnlj_nodes = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin",
+                                   lm_plan))
+    assert len(lm_bnlj_nodes) <= 1
+
+
+def test_r5_ops_empty_input(spark):
+    """Every r5 operator must return an empty, correctly-schema'd result
+    on an empty corpus rather than erroring (a real pipeline hits empty
+    partitions/filters constantly)."""
+    from kgre import dedup, lines, lm, sampling, urls
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, source string, host string")
+    assert sampling.split_by_hash(empty).count() == 0
+    assert sampling.hash_sample(empty, 0.5).count() == 0
+    assert sampling.token_budget_sample(empty, 100).count() == 0
+    assert urls.host_stats(empty).count() == 0
+    assert urls.cap_per_host(empty, 3).count() == 0
+    assert dedup.cross_doc_span_stats(empty).count() == 0
+    assert lines.dedup_lines(empty).count() == 0
+    assert lines.c4_filter_lines(empty).count() == 0
+    bigrams, ctx, vocab = lm.train_bigram_lm(empty)
+    assert lm.bits_per_token(empty, bigrams, ctx, vocab).count() == 0
