@@ -551,6 +551,19 @@ def _q_token_budget(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def _q_quality_classifier(spark, sf_dir):
+    """GPT-3-style quality classifier (kgre/qualityclf.py): closed-form
+    token log-odds between a reference slice (doc_id % 7 < 2) and the
+    rest; every doc scored by its mean token weight.  Count-ratio
+    arithmetic throughout, so DuckDB reproduces exact scores."""
+    from kgre import qualityclf
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    d = F.col("doc_id")
+    weights, unseen = qualityclf.train_log_odds(
+        docs.filter(d % 7 < 2), docs.filter(d % 7 >= 2))
+    return qualityclf.log_odds_score(docs, weights, unseen)
+
+
 def _q_lm_perplexity(spark, sf_dir):
     """CCNet-style bigram-LM perplexity scoring (kgre/lm.py): train a
     Laplace bigram LM on the doc_id % 3 == 0 reference slice, score
@@ -849,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_perplexity": _q_lm_perplexity,
         "q_token_budget": _q_token_budget,
         "q_line_dedup": _q_line_dedup,
+        "q_quality_classifier": _q_quality_classifier,
         "q_host_stats": _q_host_stats,
         "q_cap_per_host": _q_cap_per_host,
         # multimodal plumbing
@@ -1519,6 +1533,35 @@ def oracle_sql() -> dict[str, str]:
                    round(1 - count(*) / sum(cnt), 4) AS dup_frac,
                    round(max(cnt) / sum(cnt), 4) AS top_frac
             FROM c GROUP BY doc_id
+        """,
+        # token log-odds: ref slice doc_id%7<2 vs rest; w(t) =
+        # ln((cr+1)/(nr+v)) - ln((cb+1)/(nb+v)); unseen-both constant
+        "q_quality_classifier": """
+            WITH ts AS (
+              SELECT doc_id, doc_id % 7 < 2 AS is_ref, t.x AS t
+              FROM documents,
+                unnest(list_filter(string_split(lower(text), ' '),
+                                   x -> x != '')) AS t(x)),
+            rc AS (SELECT t, count(*) AS cr FROM ts WHERE is_ref
+                   GROUP BY t),
+            bc AS (SELECT t, count(*) AS cb FROM ts WHERE NOT is_ref
+                   GROUP BY t),
+            j AS (SELECT coalesce(rc.t, bc.t) AS t,
+                         coalesce(cr, 0) AS cr, coalesce(cb, 0) AS cb
+                  FROM rc FULL OUTER JOIN bc ON rc.t = bc.t),
+            s AS (SELECT sum(cr) AS nr, sum(cb) AS nb, count(*) AS v
+                  FROM j),
+            w AS (SELECT t,
+                    ln((cr + 1.0) / (nr + v))
+                      - ln((cb + 1.0) / (nb + v)) AS w
+                  FROM j CROSS JOIN s),
+            sc AS (SELECT ts.doc_id,
+                     coalesce(w.w, ln((s.nb + s.v) * 1.0
+                                      / (s.nr + s.v))) AS w
+                   FROM ts LEFT JOIN w USING (t) CROSS JOIN s)
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(w), 4) AS quality_lr
+            FROM sc GROUP BY doc_id
         """,
         # 5-token lines; doc_id%4==1 docs carry a planted boilerplate
         # line; every copy of any line occurring >=3x is removed

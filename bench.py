@@ -80,6 +80,7 @@ DATA_OPS_QUERIES = [
     "q_lm_perplexity",      # CCNet-style bigram-LM bits-per-token
     "q_token_budget",       # per-source token quotas, two-phase cumsum
     "q_line_dedup",         # C4 line-level corpus dedup + reassembly
+    "q_quality_classifier", # closed-form log-odds ref-vs-crawl scorer
 ]
 
 

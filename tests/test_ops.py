@@ -1215,3 +1215,37 @@ def test_clean_documents_line_dedup_stage(spark):
                                 by["line_dedup"][3])
     # 0 and 1 become text-identical -> exact dedup keeps 0 only
     assert kept == [0, 3]
+
+
+def test_quality_classifier_log_odds_hand_computed(spark):
+    """ref='good good text', bg='bad text': w(good)=ln 2.5,
+    w(text)=ln(5/6), w(bad)=ln(5/12), unseen=ln(5/6)."""
+    import math
+
+    from kgre import qualityclf
+
+    ref = spark.createDataFrame([(0, "good good text")],
+                                "doc_id long, text string")
+    bg = spark.createDataFrame([(1, "bad text")],
+                               "doc_id long, text string")
+    weights, unseen = qualityclf.train_log_odds(ref, bg)
+    w = {r["t"]: r["w"] for r in weights.collect()}
+    assert abs(w["good"] - math.log(2.5)) < 1e-12
+    assert abs(w["text"] - math.log(5 / 6)) < 1e-12
+    assert abs(w["bad"] - math.log(5 / 12)) < 1e-12
+    assert abs(unseen.collect()[0]["w_unseen"]
+               - math.log(5 / 6)) < 1e-12
+
+    score = spark.createDataFrame(
+        [(10, "good zzz"), (11, "bad bad"), (12, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r
+           for r in qualityclf.log_odds_score(score, weights,
+                                              unseen).collect()}
+    assert 12 not in got                       # zero tokens: no row
+    assert got[10]["n_tokens"] == 2
+    assert got[10]["quality_lr"] == round(
+        (math.log(2.5) + math.log(5 / 6)) / 2, 4)
+    assert got[11]["quality_lr"] == round(math.log(5 / 12), 4)
+    # reference-like text scores above background-like text
+    assert got[10]["quality_lr"] > got[11]["quality_lr"]
