@@ -78,14 +78,18 @@ def token_budget_sample(df: DataFrame, budgets, source_col: str = "source",
     partition:
 
     1. per-(source, bucket) token sums (partial-agg; ≤ 10k rows per
-       source) + a running total over that tiny table classify every
-       bucket as fully-kept (total through it ≤ budget), fully-dropped
-       (prior total already ≥ budget; token counts are ≥ 1, so nothing
-       in it can fit), or THE boundary bucket (at most one per source);
-    2. only boundary-bucket rows (~1/10000 of a source) flow through
-       the exact per-doc cumulative window.
+       source) + a running total over that tiny table; because the
+       cumulative total is MONOTONE in bucket order, the whole bucket
+       classification compresses to ONE ROW PER SOURCE — the first
+       bucket whose inclusive total exceeds the budget (``_bstar``) and
+       the total before it (``_prev``).  Rows in earlier buckets are
+       all kept, rows in later buckets all dropped (token counts are
+       ≥ 1, so nothing after the crossing can fit);
+    2. only rows in the single crossing bucket (~1/10000 of a source)
+       flow through the exact per-doc cumulative window.
 
-    Everything else is a broadcast join against the bucket-status table.
+    The per-source summary is the only broadcast — O(#sources) rows, so
+    the plan is the same whether a source has 10^2 or 10^10 docs.
     """
     from pyspark.sql import Window
 
@@ -113,20 +117,26 @@ def token_budget_sample(df: DataFrame, budgets, source_col: str = "source",
         source_col, "_bk",
         (F.sum("_bt").over(wb) - F.col("_bt")).alias("_prev"),
         F.sum("_bt").over(wb).alias("_incl"), "_budget")
-    full = status.filter(F.col("_incl") <= F.col("_budget")) \
-                 .select(source_col, "_bk")
-    boundary = status.filter((F.col("_prev") < F.col("_budget"))
-                             & (F.col("_incl") > F.col("_budget"))) \
-                     .select(source_col, "_bk", "_prev")
+    # the single crossing bucket per source (may not exist: everything
+    # fits).  _prev >= budget means the crossing bucket itself is
+    # entirely dropped and the window stage sees nothing for it.
+    summary = (status.filter(F.col("_incl") > F.col("_budget"))
+               .groupBy(source_col)
+               .agg(F.min("_bk").alias("_bstar"),
+                    F.min_by("_prev", "_bk").alias("_sprev")))
 
-    kept_full = base.join(F.broadcast(full), [source_col, "_bk"],
-                          "left_semi").drop("_nt", "_bk", "_budget")
-    brows = base.join(F.broadcast(boundary), [source_col, "_bk"])
+    tagged = base.join(F.broadcast(summary), source_col, "left")
+    kept_full = (tagged.filter(F.col("_bstar").isNull()
+                               | (F.col("_bk") < F.col("_bstar")))
+                 .drop("_nt", "_bk", "_budget", "_bstar", "_sprev"))
+    brows = tagged.filter((F.col("_bk") == F.col("_bstar"))
+                          & (F.col("_sprev") < F.col("_budget")))
     wd = (Window.partitionBy(source_col).orderBy(id_col)
           .rowsBetween(Window.unboundedPreceding, 0))
     kept_boundary = (brows
-                     .withColumn("_cum", F.col("_prev")
+                     .withColumn("_cum", F.col("_sprev")
                                  + F.sum("_nt").over(wd))
                      .filter(F.col("_cum") <= F.col("_budget"))
-                     .drop("_nt", "_bk", "_budget", "_prev", "_cum"))
+                     .drop("_nt", "_bk", "_budget", "_bstar", "_sprev",
+                           "_cum"))
     return unlimited.unionByName(kept_full).unionByName(kept_boundary)

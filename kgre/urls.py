@@ -97,8 +97,8 @@ def cap_per_host(df: DataFrame, k: int, host_col: str = "host",
     Scale shape (heavy-tailed crawls have a few mega-hosts and millions
     of tiny ones):
 
-    * hosts at-or-under the cap pass through a broadcast hash join only
-      — no ranking, no per-host window;
+    * hosts at-or-under the cap pass through a hash join only — no
+      ranking, no per-host window;
     * over-cap hosts are PRE-FILTERED by a per-host hash cutoff
       (expected ~``margin * k`` survivors each), so the exact
       ``row_number`` window never sees a mega-host's full row set in
@@ -113,9 +113,11 @@ def cap_per_host(df: DataFrame, k: int, host_col: str = "host",
     trade is deliberate: the alternative — shuffling the WHOLE corpus by
     host into one window — moves every payload byte for rows the cap
     never touches, which is strictly worse at crawl scale.  Verified
-    plan shape (Spark 4): every join broadcast, and the ``rn <= k``
-    filter compiles to ``WindowGroupLimit`` — the rank stage keeps only
-    k rows per host per partition, never a mega-host's full row set.
+    plan shape (Spark 4): the stats-table joins broadcast whenever the
+    tables are actually small (AQE decides for ``hot``, which is
+    host-cardinality-sized under a low cap), and the ``rn <= k`` filter
+    compiles to ``WindowGroupLimit`` — the rank stage keeps only k rows
+    per host per partition, never a mega-host's full row set.
     """
     from pyspark.sql import Window
 
@@ -124,8 +126,14 @@ def cap_per_host(df: DataFrame, k: int, host_col: str = "host",
     if k < 1:
         raise ValueError("k must be >= 1")
     counts = df.groupBy(host_col).agg(F.count("*").alias("_host_n"))
+    # no broadcast hint on `hot`: with a low cap on a billion-host crawl
+    # it is host-cardinality-sized, and a forced broadcast would OOM the
+    # driver — Catalyst/AQE broadcasts it automatically whenever it is
+    # actually small, and falls back to a key-shuffled join otherwise
+    # (still scale-safe: the join key is the host).  `under` stays
+    # hinted — it holds only prefilter-undershot hosts, ~always empty.
     hot = counts.filter(F.col("_host_n") > k)
-    tagged = df.join(F.broadcast(hot), host_col, "left")
+    tagged = df.join(hot, host_col, "left")
     cold = tagged.filter(F.col("_host_n").isNull()).drop("_host_n")
     hotrows = (tagged.filter(F.col("_host_n").isNotNull())
                .withColumn("_bucket", hash_frac(id_col, salt)))
