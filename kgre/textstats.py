@@ -42,6 +42,19 @@ def token_count(docs: DataFrame) -> DataFrame:
     )
 
 
+def quality_col(text_col: str = "text"):
+    """The composite stopword/vowel quality score as a bare COLUMN
+    expression, so it can fuse into any projection (a streaming select,
+    the clean composition) without a join."""
+    toks = tokens_col(text_col)
+    n_chars = F.length(text_col)
+    vowels = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), "[aeiou]", ""))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
+    return F.round(
+        (stop_hits / F.size(toks)) * 0.5 + (vowels / n_chars) * 0.5, 4)
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Length / vowel-ratio / stopword-ratio quality features + a composite
     score; everything in built-in expressions."""
@@ -58,9 +71,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
         n_tokens.alias("n_tokens"),
         F.round(vowels / n_chars, 4).alias("vowel_ratio"),
         F.round(stop_hits / n_tokens, 4).alias("stopword_ratio"),
-        F.round(
-            (stop_hits / n_tokens) * 0.5 + (vowels / n_chars) * 0.5, 4
-        ).alias("quality"),
+        quality_col().alias("quality"),
     )
 
 

@@ -158,3 +158,49 @@ def test_windowed_page_counts_watermark(spark, tmp_path):
         assert n == h + 1, (h, n)
     # windows more than the watermark behind the max event time closed
     assert {h for h, _ in got} >= {0, 1, 2, 3, 4}
+
+
+def test_streaming_data_ops_match_batch(spark, tmp_path):
+    """The map-only crawl hygiene ops (PII scrub, quality score, URL
+    canonicalization) are pure Catalyst expressions, so the SAME
+    transformation applied to a readStream emits exactly the batch
+    result — corpus hygiene can run incrementally as crawl shards
+    land."""
+    from kgre import pii, textstats, urls
+
+    docs_dir = str(tmp_path / "docs")
+    rows = [(i,
+             f"contact me at user{i}@example.com or 10.0.0.{i % 250} "
+             "about the quick brown fox and the lazy dog",
+             f"HTTPS://Site{i % 5}.Example.COM:443/p?utm_source=x&b={i % 3}")
+            for i in range(40)]
+    df = spark.createDataFrame(rows,
+                               "doc_id long, text string, url string")
+    df.repartition(4).write.parquet(docs_dir)
+
+    def transform(d):
+        scrubbed = d.select("doc_id", "url",
+                            pii.scrubbed_text("text").alias("text"))
+        # one fused map-only projection: no joins, no state -> the
+        # streaming plan is identical to the batch plan per micro-batch
+        return (urls.canonicalize_urls(scrubbed, "url")
+                .withColumn("quality", textstats.quality_col())
+                .select("doc_id", "text", "canon_url", "host", "quality"))
+
+    batch = {tuple(r) for r in transform(spark.read.parquet(docs_dir))
+             .collect()}
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (spark.readStream.schema(
+        "doc_id long, text string, url string")
+        .option("maxFilesPerTrigger", 1).parquet(docs_dir))
+    q = (transform(stream).writeStream
+         .format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert got == batch and len(got) == 40
+    # and the scrub actually redacted: no raw emails/IPs in the stream
+    assert not any("@example.com" in t for _, t, *_ in got)
