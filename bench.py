@@ -12,8 +12,9 @@ Each query is forced end-to-end with the ``noop`` sink so the full plan
 driver-side collect dominating the measurement.
 
 Scaling protocol (BASELINE.md): run ``python bench.py --scaling`` to time
-the flagship KG scoring job at local[8] vs local[32] on the same input and
-report triples/sec at both plus efficiency = (thr32 / thr8) / 4.
+the flagship KG scoring job at N vs 4N cores (default local[4] vs
+local[16], override via $SPARK_GRAFT_SCALE_LEVELS) on the same input and
+report triples/sec at both plus efficiency = (thr_4N / thr_N) / 4.
 """
 
 from __future__ import annotations
