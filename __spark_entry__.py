@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kgre import decontam, dedup, kb as kbmod, linking, multimodal
-from kgre import pii, similarity, synthgen, textstats, webtext
+from kgre import pii, similarity, synthgen, textstats
 from kgre.pipeline import KgPipeline
 from kgre.score import emitted_triples
 
@@ -84,15 +84,29 @@ def _cents(col):
 # ------------------------------------------------------------------ entry
 
 
+def _kg_scored(spark, docs):
+    """Shared flagship tail: fused documents->candidates stage (ONE
+    Python crossing, r6 — equality with the two-stage pages path pinned
+    by tests/test_fused.py) -> vocab sets -> scoring.  TEST mode needs
+    neither the S14 sentence columns nor the vocab dense-id ranking, so
+    both stay out of the plan (guide §1.2: don't compute what you throw
+    away)."""
+    from kgre.pipeline import documents_to_candidates
+    cands = documents_to_candidates(docs, "GENE", "ONTOLOGY",
+                                    synthgen.stop_entity_ids(),
+                                    with_sentence=False)
+    pipe = KgPipeline(spark, occur_count=2)
+    scored, _, _ = pipe.run_from_candidates(
+        cands, synthgen.kb_rows(), synthgen.ontology_rows(),
+        emit_threshold=0.5, need_vocab_ids=False)
+    return scored
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: documents -> synthetic web pages -> extract -> parse ->
     candidates -> distant labels + logistic scoring -> emitted triples."""
     docs = _docs(spark, "/root/testdata/sf0.001")
-    pages = webtext.pages_from_documents(docs, lang="en")
-    pipe = KgPipeline(spark, occur_count=2)
-    scored, _, _ = pipe.run(pages, synthgen.kb_rows(), synthgen.ontology_rows(),
-                            synthgen.stop_entity_ids(), emit_threshold=0.5)
-    return emitted_triples(scored)
+    return emitted_triples(_kg_scored(spark, docs))
 
 
 # ------------------------------------------------------ query definitions
@@ -100,20 +114,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _q_kg_flagship(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    pages = webtext.pages_from_documents(docs, lang="en")
-    pipe = KgPipeline(spark, occur_count=2)
-    scored, _, _ = pipe.run(pages, synthgen.kb_rows(), synthgen.ontology_rows(),
-                            synthgen.stop_entity_ids(), emit_threshold=0.5)
+    scored = _kg_scored(spark, docs)
     return emitted_triples(scored).select("url", "subj", "obj", "rel",
                                           "label", F.round("prob", 6).alias("prob"))
 
 
 def _q_kg_candidates(spark, sf_dir):
-    from kgre.pipeline import pages_to_candidates
+    from kgre.pipeline import documents_to_candidates
     docs = _docs(spark, sf_dir)
-    pages = webtext.pages_from_documents(docs, lang="en")
-    cands = pages_to_candidates(pages, "GENE", "ONTOLOGY",
-                                synthgen.stop_entity_ids())
+    cands = documents_to_candidates(docs, "GENE", "ONTOLOGY",
+                                    synthgen.stop_entity_ids(),
+                                    with_sentence=False)
     return cands.select("url", "sent_id", "pair_idx", "is_reverse", "subj",
                         "obj", "dep_path_string")
 
@@ -651,11 +662,7 @@ def _q_triple_parity(spark, sf_dir):
     join, sum of per-key minima) — no driver collect, so the same query
     shape survives a 100x corpus."""
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
-    pages_df = webtext.pages_from_documents(docs, lang="en")
-    pipe = KgPipeline(spark, occur_count=2)
-    scored, _, _ = pipe.run(pages_df, synthgen.kb_rows(),
-                            synthgen.ontology_rows(),
-                            synthgen.stop_entity_ids(), emit_threshold=0.5)
+    scored = _kg_scored(spark, docs)
     key = ["url", "subj", "obj", "rel", "prob_r9"]
     s = (emitted_triples(scored)
          .select("url", "subj", "obj", "rel",
@@ -692,11 +699,11 @@ def _q_lstm_scoring(spark, sf_dir):
     """M3/M5 (rows-only: recurrent forward pass isn't SQL; batch-vs-oracle
     parity is enforced in tests/test_lstm.py)."""
     from kgre import lstm
-    from kgre.pipeline import pages_to_candidates
+    from kgre.pipeline import documents_to_candidates
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 60)
-    pages = webtext.pages_from_documents(docs, lang="en")
-    cands = pages_to_candidates(pages, "GENE", "ONTOLOGY",
-                                synthgen.stop_entity_ids()).persist()
+    cands = documents_to_candidates(docs, "GENE", "ONTOLOGY",
+                                    synthgen.stop_entity_ids(),
+                                    with_sentence=False).persist()
     # bounded distributed vocab build — no unbounded driver collect
     # (distributed count + top-N collect; VERDICT r2 #1)
     dep_vocab, word_vocab = lstm.lstm_vocab_features(cands)

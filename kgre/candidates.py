@@ -45,6 +45,12 @@ CANDIDATES_SCHEMA = (
     "sent_text string, start_tok int, end_tok int"
 )
 
+# TEST-mode variant (r6): everything the vocab builder, the scorer and
+# the LSTM path read — the S14 sentence columns (the widest ones) never
+# cross the Arrow boundary when no predict sink consumes them
+SLIM_CANDIDATES_SCHEMA = CANDIDATES_SCHEMA.replace(
+    ", sent_text string, start_tok int, end_tok int", "")
+
 
 # ----------------------------------------------------------- sentence-local
 
@@ -353,12 +359,20 @@ def candidates_from_sentences(sentences: DataFrame, entity_a: str,
     return sentences.mapInPandas(run, schema=CANDIDATES_SCHEMA)
 
 
-def rows_to_pdf(rows) -> pd.DataFrame:
+SLIM_COLS = [c for c in _COLS
+             if c not in ("sent_text", "start_tok", "end_tok")]
+
+
+def rows_to_pdf(rows, cols=None) -> pd.DataFrame:
     """list-of-dict candidate rows -> pandas frame, built COLUMNAR (dict of
     lists). pd.DataFrame(list_of_dicts) re-infers per row and is the
-    slowest constructor — this is the hot Arrow boundary."""
+    slowest constructor — this is the hot Arrow boundary.  ``cols``
+    selects a reduced column set (SLIM_COLS) for consumers that never
+    read the S14 sentence columns."""
+    if cols is None:
+        cols = _COLS
     if not rows:
         # empty columns MUST be object-dtype: a bare [] infers float64,
         # which Arrow cannot convert to list<string> fields
-        return pd.DataFrame({c: pd.Series([], dtype=object) for c in _COLS})
-    return pd.DataFrame({c: [r[c] for r in rows] for c in _COLS})
+        return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+    return pd.DataFrame({c: [r[c] for r in rows] for c in cols})

@@ -23,12 +23,12 @@ from pyspark.sql import functions as F
 
 from kgre import kb as kbmod
 from kgre import nlp
-from kgre.candidates import (CANDIDATES_SCHEMA, rows_to_pdf,
-                             sentence_candidates)
+from kgre.candidates import (CANDIDATES_SCHEMA, SLIM_CANDIDATES_SCHEMA,
+                             SLIM_COLS, rows_to_pdf, sentence_candidates)
 from kgre.extract import extract_text_from_html
 from kgre.score import score_candidates
 from kgre.util import ensure_min_partitions
-from kgre.vocab import build_vocab, collect_vocab_sets
+from kgre.vocab import collect_vocab_sets, two_phase_dense_ids, vocab_counts
 
 
 def pages_to_candidates(pages: DataFrame, entity_a: str, entity_b: str,
@@ -73,6 +73,70 @@ def pages_to_candidates(pages: DataFrame, entity_a: str, entity_b: str,
     slim = pages.filter(F.col("lang") == lang).select("url", "html")
     slim = ensure_min_partitions(slim, cols=("url",), target=min_partitions)
     return slim.mapInPandas(run, schema=CANDIDATES_SCHEMA)
+
+
+def documents_to_candidates(docs: DataFrame, entity_a: str, entity_b: str,
+                            stop_ids, lang: str = "en",
+                            min_partitions: int | None = None,
+                            allow1=None, allow2=None,
+                            with_sentence: bool = True) -> DataFrame:
+    """Fused documents -> candidates stage: ONE Python crossing for the
+    synthetic-corpus path (guide §4: derive page text + sentence parse +
+    candidate features in the same task, so neither the html blob nor the
+    derived text ever crosses the Arrow boundary).
+
+    Equivalent by construction to
+    ``pages_to_candidates(pages_from_documents(docs, lang), ...)`` — the
+    html render + re-extract between those stages is the identity on the
+    derived text (``extract_text_from_html(HTML_TEMPLATE.format(text=t))
+    == t`` unless ``t`` contains the article close tag, in which case
+    this falls back to the render+extract round-trip); equality is
+    pinned by tests/test_fused.py.  The REAL html ingest path
+    (``pages_to_candidates`` over a pages table) is unchanged and still
+    what production, the CLI, and the scaling bench run — this fusion
+    only removes the render->unrender round-trip where the input is the
+    driver's documents table.
+
+    ``with_sentence=False`` additionally drops (sent_text, start_tok,
+    end_tok) from the OUTPUT schema, so the widest column never crosses
+    the Arrow boundary when the consumer is the TEST-mode scorer.
+    """
+    from kgre.extract import extract_text_from_html
+    from kgre.webtext import doc_to_page, page_text
+
+    stop = frozenset(stop_ids)
+    a1 = frozenset(allow1) if allow1 is not None else None
+    a2 = frozenset(allow2) if allow2 is not None else None
+    cols = None if with_sentence else SLIM_COLS
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, dtext in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                url = "https://docs.example/d%d" % doc_id
+                text = page_text(doc_id, dtext)
+                if "</p></article>" in text:   # pragma: no cover
+                    page = doc_to_page(doc_id, dtext, "")
+                    text = extract_text_from_html(page["html"])
+                for s in nlp.parse_text(text):
+                    rows.extend(
+                        sentence_candidates(
+                            url, s["sent_id"], s["tokens"], s["deps"],
+                            entity_a, entity_b, stop, a1, a2,
+                            sent_text=s["sent_text"],
+                        )
+                    )
+            yield rows_to_pdf(rows, cols=cols)
+
+    slim = docs.select("doc_id", "text", "lang")
+    if lang is not None:
+        slim = slim.filter(F.col("lang") == lang)
+    slim = slim.select("doc_id", "text")
+    slim = ensure_min_partitions(slim, cols=("doc_id",),
+                                 target=min_partitions)
+    schema = CANDIDATES_SCHEMA if with_sentence else SLIM_CANDIDATES_SCHEMA
+    return slim.mapInPandas(run, schema=schema)
 
 
 MENTIONS_SCHEMA = "url string, side string, entity_key string"
@@ -153,7 +217,8 @@ class KgPipeline:
             checkpoint_dir: str | None = None,
             repartition: int | None = None,
             allow1=None, allow2=None, with_sentence: bool = False,
-            emit_threshold: float | None = None):
+            emit_threshold: float | None = None,
+            need_vocab_ids: bool = True):
         """pages -> (scored triples DF, vocab DF, key_order).
 
         ``emit_threshold=0.5`` pushes the emitted-triple gate into the
@@ -164,16 +229,27 @@ class KgPipeline:
                                     stop_ids, allow1=allow1, allow2=allow2)
         return self.run_from_candidates(
             cands, kb_rows_list, onto_rows, checkpoint_dir=checkpoint_dir,
-            with_sentence=with_sentence, emit_threshold=emit_threshold)
+            with_sentence=with_sentence, emit_threshold=emit_threshold,
+            need_vocab_ids=need_vocab_ids)
 
     def run_from_candidates(self, cands: DataFrame, kb_rows_list, onto_rows,
                             checkpoint_dir: str | None = None,
                             with_sentence: bool = False,
-                            emit_threshold: float | None = None):
+                            emit_threshold: float | None = None,
+                            need_vocab_ids: bool = True):
         """candidates -> (scored triples DF, vocab DF, key_order) — the
         vocab + scoring tail of ``run``, exposed so pre-parsed corpora
         (CoreNLP XML via kgre.corenlp -> candidates_from_sentences) enter
-        the same plan after the ingest stage."""
+        the same plan after the ingest stage.
+
+        ``need_vocab_ids=False`` (r6): scoring only needs the vocabulary
+        feature SETS (weights are keyed by feature string, kgre/model.py)
+        — the dense-id RANKING (two-phase rank: range shuffle + eager
+        checkpoint + count job + window) is built only when the caller
+        consumes the vocab table (CLI vocab sink, CV folds).  With False
+        the returned vocab DF is the pruned (kind, feature, cnt) counts
+        without ids, and the flagship scoring path runs two jobs instead
+        of four."""
         fwd, rev, key_order = self.prepare_kb(kb_rows_list, onto_rows)
         if checkpoint_dir:
             # materialized stage boundary (reference: per-file TFRecord
@@ -182,10 +258,28 @@ class KgPipeline:
             cands.write.mode("overwrite").parquet(checkpoint_dir)
             cands = self.spark.read.parquet(checkpoint_dir)
         else:
+            if not with_sentence and "sent_text" in cands.columns:
+                # TEST mode over a full-schema candidates table: the S14
+                # sentence columns (the widest ones) stay out of the
+                # cached batches.  When the input is already the slim
+                # fused stage there is nothing to drop — and adding an
+                # identity projection here would break analyzed-plan
+                # equality with other consumers of the same candidates
+                # plan, losing the in-session cache match.
+                cands = cands.select(*[c for c in SLIM_COLS
+                                       if c in cands.columns])
             # cache is materialized by the (single-scan) vocab job and
             # reused by the scoring job
             cands = cands.persist()
-        vocab_df = build_vocab(cands, self.occur_count)
+        counts = vocab_counts(cands).filter(
+            F.col("cnt") >= self.occur_count)
+        if need_vocab_ids:
+            vocab_df = two_phase_dense_ids(
+                counts, ["kind"], [F.desc("cnt"), F.asc("feature")])
+        else:
+            vocab_df = counts
+        # collect_vocab_sets only reads (kind, feature): with ids it
+        # reads the two-phase checkpoint; without, the pruned counts
         vocabs = collect_vocab_sets(vocab_df)
         scored = score_candidates(cands, vocabs, key_order, fwd, rev,
                                   with_sentence=with_sentence,

@@ -36,11 +36,17 @@ def _pages_pdf(rows):
     return pd.DataFrame({c: [r[c] for r in rows] for c in _PAGE_COLS})
 
 
-def doc_to_page(doc_id: int, text: str, lang: str) -> dict:
+def page_text(doc_id: int, text: str) -> str:
+    """The derived page text alone (no url/ts/html wrapping) — the text
+    half of ``doc_to_page``, split out so the fused documents->candidates
+    stage (kgre/pipeline.py, r6) can derive and parse pages in one Python
+    crossing without building the html wrapper it would immediately
+    unwrap.  One hash per document; per-position draws are integer-mixed
+    from it (pure function of (doc_id, j), like the string-keyed
+    original).  A numpy ``hseq_vec`` variant was measured SLOWER here:
+    corpus docs average ~10^2 words, below numpy's per-array break-even."""
     words = text.split()
     out = []
-    # one hash per document; per-position draws are integer-mixed from it
-    # (pure function of (doc_id, j), like the string-keyed original)
     base = h48("page|%d" % doc_id)
     for j, w in enumerate(words):
         out.append(w)
@@ -53,7 +59,11 @@ def doc_to_page(doc_id: int, text: str, lang: str) -> dict:
             out.append("VGENE%d" % (1 + hseq(base, j, 4, N_GENES)))
         if j % 12 == 11:
             out.append(".")
-    new_text = " ".join(out) + " ."
+    return " ".join(out) + " ."
+
+
+def doc_to_page(doc_id: int, text: str, lang: str) -> dict:
+    new_text = page_text(doc_id, text)
     url = "https://docs.example/d%d" % doc_id
     return {
         "url": url,
