@@ -130,16 +130,21 @@ def _q_kg_candidates(spark, sf_dir):
 
 
 def _q_vocab_topk(spark, sf_dir):
-    from kgre.vocab import two_phase_dense_ids
+    from pyspark.sql import Window
     tok = _docs(spark, sf_dir).select(
         F.explode(F.split("text", " ")).alias("word"))
     counts = tok.groupBy("word").agg(F.count("*").alias("cnt")).filter(
         F.col("cnt") >= 10)
-    # map-side top-k (TakeOrderedAndProject), then two-phase rank over the
-    # tiny survivor set — no unpartitioned row_number window anywhere
+    # map-side top-k (TakeOrderedAndProject) bounds the set to 100 rows,
+    # so a plain single-partition row_number is safe at ANY corpus scale
+    # and replaces the r5 two-phase rank machinery (range shuffle + eager
+    # checkpoint + count job + broadcast join) with one window over the
+    # driver-bounded survivor set (guide §1.2; the two-phase rank remains
+    # the right tool for UNBOUNDED groups — q_dense_rank still uses it)
     top = counts.orderBy(F.desc("cnt"), F.asc("word")).limit(100)
-    ranked = two_phase_dense_ids(top, [], [F.desc("cnt"), F.asc("word")],
-                                 num_parts=1)
+    w = Window.orderBy(F.desc("cnt"), F.asc("word"))
+    ranked = top.withColumn("id",
+                            (F.row_number().over(w) - 1).cast("long"))
     return ranked.orderBy("id").select("word", "cnt", "id")
 
 
@@ -165,8 +170,15 @@ def _q_entity_distribution(spark, sf_dir):
 
 def _q_label_join(spark, sf_dir):
     kb = spark.createDataFrame(_KB_WORDS, "word string, rel string")
+    # row-local semi-join before the explode (guide §2.3 "project before
+    # the exchange"): only tokens matching the 5-word KB explode — the
+    # distinct-shuffle input drops from every token to <=|KB| rows/doc.
+    # array_distinct is safe because the output is DISTINCT (doc_id, rel).
+    kb_words = [w for w, _ in _KB_WORDS]
+    matched = F.array_distinct(
+        F.filter(F.split("text", " "), lambda t: t.isin(kb_words)))
     tok = _docs(spark, sf_dir).select(
-        "doc_id", F.explode(F.split("text", " ")).alias("word"))
+        "doc_id", F.explode(matched).alias("word"))
     return tok.join(F.broadcast(kb), "word").select("doc_id", "rel").distinct()
 
 
@@ -217,12 +229,19 @@ def _q_sessionize(spark, sf_dir):
 
 
 def _q_window_tumbling(spark, sf_dir):
-    hour = F.date_format(F.date_trunc("hour", F.col("ts")),
-                         "yyyy-MM-dd HH:mm:ss")
+    # group on the truncated TIMESTAMP and render the string per GROUP,
+    # not per row (guide §2.3: narrower grouping key in the exchange, and
+    # the date_format run count drops from |events| to |groups|);
+    # date_format is deterministic per distinct truncated ts, so the
+    # result is identical
     return (_events(spark, sf_dir)
-            .groupBy(hour.alias("hour"), "event_type")
+            .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+                     "event_type")
             .agg(F.count("*").alias("n_events"),
-                 F.sum(_cents("value")).alias("sum_value_cents")))
+                 F.sum(_cents("value")).alias("sum_value_cents"))
+            .select(F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss")
+                    .alias("hour"),
+                    "event_type", "n_events", "sum_value_cents"))
 
 
 def _q_set_ops(spark, sf_dir):
@@ -272,12 +291,22 @@ def _q_tpch_pricing(spark, sf_dir):
 def _q_tpch_top_orders(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING")
-    o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
     rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
                   0).cast("long")
-    return (li.join(o, li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    # join ORDER matters (guide §3): reduce orders by the selective
+    # broadcast customer filter FIRST (~1/5 survive), project to the join
+    # key, and only then touch lineitem.  The broadcast hint pins the
+    # BUILD side to the keys-only bought relation (8 bytes x 5% of
+    # orders ~ 1/250 of the lineitem bytes at every sf; without the hint
+    # the planner's static estimates picked lineitem as build side at
+    # sf0.1) — the big side is never shuffled and the groupBy aggregates
+    # only matching lines.
+    bought = (o.join(F.broadcast(c), o.o_custkey == F.col("c_custkey"))
+              .select("o_orderkey"))
+    return (li.join(F.broadcast(bought), li.l_orderkey == F.col("o_orderkey"))
             .groupBy("l_orderkey")
             .agg(F.sum(rev).alias("revenue_cents"))
             .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey")).limit(10))
@@ -320,7 +349,10 @@ def _q_pair_generation(spark, sf_dir):
 
 
 def _q_dedup_exact(spark, sf_dir):
-    fp = F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 5)))
+    # split with limit=6: the fingerprint reads only the first 5 tokens,
+    # so the full-text token array is never materialized (limit 6 keeps
+    # the first 5 elements identical to an unlimited split)
+    fp = F.md5(F.concat_ws(" ", F.slice(F.split("text", " ", 6), 1, 5)))
     return (_docs(spark, sf_dir).select("doc_id", fp.alias("fp"))
             .groupBy("fp")
             .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
