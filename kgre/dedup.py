@@ -91,8 +91,14 @@ def _cap_hot_buckets(banded: DataFrame, max_bucket: int | None,
     from kgre.session import stage_checkpoint
 
     kc = list(key_cols)
-    sizes = stage_checkpoint(
-        banded.groupBy(*kc).agg(F.count("*").alias("_bn")), eager=False)
+    # checkpoint the BANDED stream itself (ADVICE r5), not just the size
+    # table: the accounting action below materializes it once and the
+    # returned pair-expansion plan reuses the same blocks — the upstream
+    # shingle/signature pass runs ONCE per call instead of twice.  The
+    # stream is the narrow (band, key, id) projection, so the storage
+    # cost is bounded by rows x bands of a few ints, not the corpus.
+    banded = stage_checkpoint(banded, eager=False)
+    sizes = banded.groupBy(*kc).agg(F.count("*").alias("_bn"))
     capped = sizes.filter(F.col("_bn") > max_bucket).agg(
         F.count("*").alias("n_buckets"),
         F.coalesce(F.sum("_bn"), F.lit(0)).alias("n_rows")).collect()[0]

@@ -30,7 +30,12 @@ _TRACKING_RE = "^(utm_[A-Za-z0-9_]*|fbclid|gclid)="
 
 
 def _part(u: Column, part: str) -> Column:
-    return F.parse_url(u, F.lit(part))
+    # try_parse_url: Spark 4's parse_url THROWS on a malformed URL under
+    # ANSI mode — a single garbage crawl URL would abort the whole scan.
+    # The try_ variant yields NULL, which dedup_by_canonical falls back
+    # on (collapse by raw string) and canonicalize_urls surfaces as a
+    # NULL canon_url.  Identical result for every parseable URL.
+    return F.try_parse_url(u, F.lit(part))
 
 
 def canonical_host(url) -> Column:
@@ -65,9 +70,17 @@ def dedup_by_canonical(df: DataFrame, id_col: str = "doc_id",
                        url_col: str = "url") -> DataFrame:
     """One representative row (min id) per canonical URL: the crawl-side
     twin of ``dedup.collapse_exact_docs`` — one hash-keyed shuffle on the
-    canonical string, group-shaped output."""
+    canonical string, group-shaped output.
+
+    Unparseable URLs (``canonical_url`` yields NULL when ``parse_url``
+    cannot decompose the string — relative links, missing scheme,
+    garbage) collapse by their RAW url string instead (ADVICE r5: a
+    NULL group key would silently merge every malformed-URL doc into
+    one representative).  Two malformed docs dedup only when their raw
+    strings are byte-identical — the conservative choice."""
     canon = canonicalize_urls(df, url_col)
-    keep = (canon.groupBy("canon_url")
+    key = F.coalesce(F.col("canon_url"), F.col(url_col))
+    keep = (canon.groupBy(key.alias("_ck"))
             .agg(F.min(id_col).alias(id_col)).select(id_col))
     return canon.join(keep, id_col)
 
@@ -154,6 +167,15 @@ def cap_per_host(df: DataFrame, k: int, host_col: str = "host",
                 .filter(F.col("_rn") <= k)
                 .drop("_rn", "_bucket", "_host_n"))
     if stats is not None:
-        stats["hot_hosts"] = hot.count()
-        stats["fallback_hosts"] = under.count()
+        # both counts in ONE action over the host-sized tables (VERDICT
+        # r5 #5: the old hot.count() + under.count() pair cost two extra
+        # jobs, the second re-deriving the prefilter aggregation)
+        row = (hot.join(got, host_col, "left")
+               .agg(F.count("*").alias("_hot"),
+                    F.coalesce(
+                        F.sum((F.coalesce(F.col("_got_n"), F.lit(0)) < k)
+                              .cast("long")), F.lit(0)).alias("_fb"))
+               .collect()[0])
+        stats["hot_hosts"] = row["_hot"]
+        stats["fallback_hosts"] = int(row["_fb"])
     return cold.unionByName(kept_hot)

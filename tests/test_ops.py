@@ -728,6 +728,23 @@ def test_canonical_url_edge_cases(spark):
     assert kept == {10, 12}
 
 
+def test_dedup_by_canonical_malformed_urls_pass_through(spark):
+    """ADVICE r5: parse_url yields NULL canon for unparseable URLs; they
+    must collapse by their RAW string, not be merged into one NULL group
+    (which silently dropped all but one malformed doc)."""
+    from kgre import urls
+    df = spark.createDataFrame(
+        [(1, "not a url"), (2, "also::nota url"), (3, "not a url"),
+         (4, "https://ex.com/p")],
+        "doc_id long, url string")
+    out = urls.dedup_by_canonical(df).collect()
+    kept = {r["doc_id"] for r in out}
+    # distinct malformed strings each keep a representative; identical
+    # malformed strings dedup to the min id
+    assert kept == {1, 2, 4}
+    assert {r["doc_id"]: r["canon_url"] for r in out}[1] is None
+
+
 # ------------------------------------------------------- pii / decontam
 
 

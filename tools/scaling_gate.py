@@ -78,7 +78,9 @@ def _run_json(args: list[str], timeout: int) -> dict | None:
             line = line.strip()
             if line.startswith("{"):
                 return json.loads(line)
-    except (subprocess.TimeoutExpired, json.JSONDecodeError):
+    except (subprocess.TimeoutExpired, json.JSONDecodeError, OSError):
+        # OSError alongside timeout (ADVICE r5): a spawn/pipe failure
+        # must count as a failed attempt, not kill the retry loop
         pass
     return None
 
@@ -94,9 +96,12 @@ def attempt(n: int) -> dict:
         return rec
 
     cal = _run_json([], timeout=900)
-    rec["calibration_s"] = cal.get("value") if cal else None
+    cal_v = cal.get("value") if cal else None
+    rec["calibration_s"] = cal_v
     rec["cal_gate_s"] = round(CAL_GATE_S, 2)
-    if not cal or cal["value"] > CAL_GATE_S:
+    # cal_v may be None when the bench line lacked 'value' (ADVICE r5:
+    # the old cal['value'] raised KeyError and killed the retry loop)
+    if cal_v is None or cal_v > CAL_GATE_S:
         rec["outcome"] = "failed_calibration"
         return rec
 
