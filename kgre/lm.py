@@ -68,10 +68,16 @@ def bits_per_token(docs: DataFrame, bigrams: DataFrame, ctx: DataFrame,
     reference distribution; threshold high-bits docs out.
 
     Returns ``(doc_id, n_terms, bits)``; <2-token docs emit no row."""
+    # the count tables ARE the trained LM — dictionary-sized by design
+    # (a CCNet deployment ships the KenLM table to every worker the same
+    # way).  Broadcast them explicitly (r6; guide §3.1): the planner's
+    # post-aggregation estimates otherwise pick sort-merge joins that
+    # shuffle the whole corpus bigram stream twice (by (prev,w), then by
+    # prev).
     pairs = _bigram_stream(docs, text_col)
     scored = (pairs
-              .join(bigrams, ["prev", "w"], "left")
-              .join(ctx, "prev", "left")
+              .join(F.broadcast(bigrams), ["prev", "w"], "left")
+              .join(F.broadcast(ctx), "prev", "left")
               .crossJoin(F.broadcast(vocab))
               .select(
                   "doc_id",

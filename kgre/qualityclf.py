@@ -68,8 +68,16 @@ def log_odds_score(docs: DataFrame, weights: DataFrame,
     """Per-doc mean token log-odds under the trained table: positive =
     reference-like, negative = background-like.  Returns ``(doc_id,
     n_tokens, quality_lr)``; zero-token docs emit no row."""
+    # the weight table IS the trained model — vocabulary-sized and
+    # bounded like any model artifact, exactly like the flagship's
+    # broadcast weight table.  Without the hint the planner's estimates
+    # chose a sort-merge join here, which shuffles the ENTIRE corpus
+    # token stream by token (r6; guide §3.1) — the one scale-killer in
+    # this stage.  For an unbounded raw-token vocabulary, prune the
+    # table by min count before scoring rather than shuffling the
+    # stream.
     scored = (_token_stream(docs, text_col)
-              .join(weights, "t", "left")
+              .join(F.broadcast(weights), "t", "left")
               .crossJoin(F.broadcast(unseen))
               .select("doc_id",
                       F.coalesce(F.col("w"), F.col("w_unseen"))
