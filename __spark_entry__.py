@@ -183,9 +183,12 @@ def _q_label_join(spark, sf_dir):
 
 
 def _q_stop_anti_join(spark, sf_dir):
+    # exists() short-circuits on the first stop-word hit instead of
+    # materializing the filtered array and counting it (r6); zero hits
+    # == NOT exists, so the kept set is identical
     toks = F.split("text", " ")
-    hits = F.size(F.filter(toks, lambda t: t.isin(_STOP_WORDS)))
-    return _docs(spark, sf_dir).filter(hits == 0).select("doc_id")
+    any_hit = F.exists(toks, lambda t: t.isin(_STOP_WORDS))
+    return _docs(spark, sf_dir).filter(~any_hit).select("doc_id")
 
 
 def _q_fold_split(spark, sf_dir):

@@ -93,15 +93,20 @@ def cosine_neardup_pairs(embs: DataFrame, threshold: float = 0.9,
     """All-pairs cosine >= threshold (exact).  O(n^2) — cap with max_id for
     tests; the production path buckets first (see ann_buckets)."""
     e = embs if max_id is None else embs.filter(F.col("vec_id") <= max_id)
-    a = e.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
-    b = e.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
+    # per-vector norms hoisted before the pairing (r6): O(n) norm folds
+    # instead of O(n^2) — same _norm expression on the same arrays, so
+    # the rounded cosines are bit-identical
+    a = e.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"),
+                 _norm(F.col("embedding")).alias("n1"))
+    b = e.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"),
+                 _norm(F.col("embedding")).alias("n2"))
     return (
         a.join(b, F.col("v1") < F.col("v2"))
         .select(
             "v1", "v2",
             F.round(
                 _dot(F.col("e1"), F.col("e2"))
-                / (_norm(F.col("e1")) * _norm(F.col("e2"))),
+                / (F.col("n1") * F.col("n2")),
                 4,
             ).alias("cos_sim"),
         )
@@ -183,15 +188,20 @@ def cosine_neardup_bucketed(embs: DataFrame, threshold: float = 0.9,
         .select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"))
         .distinct()
     )
-    e1 = e.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
-    e2 = e.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
+    # per-vector norms computed on the n-sized sides before the pair
+    # join (r6) — the within-bucket verify then folds each pair's arrays
+    # once (dot) instead of three times; bit-identical rounded cosines
+    e1 = e.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"),
+                  _norm(F.col("embedding")).alias("n1"))
+    e2 = e.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"),
+                  _norm(F.col("embedding")).alias("n2"))
     return (
         cand.join(e1, "v1").join(e2, "v2")
         .select(
             "v1", "v2",
             F.round(
                 _dot(F.col("e1"), F.col("e2"))
-                / (_norm(F.col("e1")) * _norm(F.col("e2"))),
+                / (F.col("n1") * F.col("n2")),
                 4,
             ).alias("cos_sim"),
         )
