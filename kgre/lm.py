@@ -49,9 +49,19 @@ def train_bigram_lm(train_docs: DataFrame, text_col: str = "text"
     ``(bigram_counts(prev, w, c), context_counts(prev, cp),
     vocab_size(vs) — one row)``.  All three are aggregation outputs:
     vocabulary-sized at worst, never corpus-sized."""
+    from kgre.session import stage_checkpoint
     pairs = _bigram_stream(train_docs, text_col)
-    bigrams = pairs.groupBy("prev", "w").agg(F.count("*").alias("c"))
-    ctx = pairs.groupBy("prev").agg(F.count("*").alias("cp"))
+    # lazy-checkpoint the bigram table (vocabulary-sized — it IS the
+    # model): it is referenced twice downstream (the scoring join and
+    # the context rollup) and Spark does not share common subplans, so
+    # without the cut each reference re-aggregates the training stream.
+    bigrams = stage_checkpoint(
+        pairs.groupBy("prev", "w").agg(F.count("*").alias("c")),
+        eager=False)
+    # c(prev) == sum over w of c(prev, w) exactly (integer counts), so
+    # the context table rolls up from the bigram table instead of
+    # re-scanning the training corpus (r6: 3 corpus-stream aggs -> 2)
+    ctx = bigrams.groupBy("prev").agg(F.sum("c").alias("cp"))
     toks = F.filter(F.split(F.lower(F.col(text_col)), " "),
                     lambda t: t != "")
     vocab = (train_docs.select(F.explode(toks).alias("t"))

@@ -42,10 +42,20 @@ def train_log_odds(ref_docs: DataFrame, bg_docs: DataFrame,
         .agg(F.count("*").alias("cr"))
     bc = _token_stream(bg_docs, text_col).groupBy("t") \
         .agg(F.count("*").alias("cb"))
+    from kgre.session import stage_checkpoint
     joined = (rc.join(bc, "t", "full_outer")
               .select("t",
                       F.coalesce("cr", F.lit(0)).alias("cr"),
                       F.coalesce("cb", F.lit(0)).alias("cb")))
+    # the count table is referenced three times downstream (weights, the
+    # scalars inside weights, the scalars inside unseen) and Spark does
+    # not share common subplans — without this cut the scoring query
+    # recomputes BOTH corpus token-count aggregations three times (r6:
+    # 6 corpus-stream aggs -> 2).  The table is vocabulary-sized (it IS
+    # the model), so the lazy checkpoint stores a dictionary, not a
+    # corpus; first action materializes it, every reference reuses the
+    # blocks.
+    joined = stage_checkpoint(joined, eager=False)
     scal = joined.agg(F.sum("cr").alias("nr"), F.sum("cb").alias("nb"),
                       F.count("*").alias("v"))
     a = F.lit(float(alpha))
