@@ -152,7 +152,12 @@ def jaccard_pairs(docs: DataFrame, n: int = 1, threshold: float = 0.6) -> DataFr
     TEST/VERIFY baseline only: the join key is the shingle, so hot
     shingles blow up the self-join at corpus scale — the production path
     is minhash_near_dups (LSH candidates, within-bucket verify)."""
-    sh = shingles(docs, n)
+    from kgre.session import stage_checkpoint
+
+    # the shingle stream is referenced three times below (sizes + both
+    # self-join sides) and Spark does not share common subplans — the
+    # lazy checkpoint computes the tokenize/window/distinct pass once
+    sh = stage_checkpoint(shingles(docs, n), eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -179,11 +184,8 @@ def jaccard_pairs(docs: DataFrame, n: int = 1, threshold: float = 0.6) -> DataFr
 # ---------------------------------------------------------- MinHash + LSH
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = 8,
-                       shingle_n: int = 3) -> DataFrame:
-    """(doc_id, sig array<string>): per seed, the lexicographic min of
-    md5(shingle || '#' || seed) — engine-portable MinHash."""
-    sh = shingles(docs, shingle_n)
+def _minhash_signatures_from_shingles(sh: DataFrame,
+                                      n_hashes: int = 8) -> DataFrame:
     mins = [
         F.min(F.md5(F.concat_ws("#", "shingle", F.lit(str(i))))).alias("h%d" % i)
         for i in range(n_hashes)
@@ -191,6 +193,53 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 8,
     agg = sh.groupBy("doc_id").agg(*mins)
     return agg.select(
         "doc_id", F.array(*[F.col("h%d" % i) for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 8,
+                       shingle_n: int = 3) -> DataFrame:
+    """(doc_id, sig array<string>): per seed, the lexicographic min of
+    md5(shingle || '#' || seed) — engine-portable MinHash."""
+    return _minhash_signatures_from_shingles(shingles(docs, shingle_n),
+                                             n_hashes)
+
+
+def _lsh_candidates_from_shingles(sh: DataFrame, n_hashes: int, bands: int,
+                                  max_bucket: int | None,
+                                  stats: dict | None) -> DataFrame:
+    """Shingles -> banded signature self-join -> distinct candidate
+    pairs.  The banded stream is always materialized before the
+    self-join (lazy checkpoint — via ``_cap_hot_buckets`` when capping,
+    directly otherwise): a self-join references its input twice, and
+    without the cut the whole shingle->signature pipeline would execute
+    once per side (r6)."""
+    from kgre.session import stage_checkpoint
+
+    rows_per_band = n_hashes // bands
+    sig = _minhash_signatures_from_shingles(sh, n_hashes)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col("sig")[i] for i in range(b * rows_per_band,
+                                                (b + 1) * rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"),
+                     F.concat_ws("|", *parts).alias("key")).alias("b%d" % b)
+        )
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_bucket is None:
+        banded = stage_checkpoint(banded, eager=False)
+    else:
+        banded = _cap_hot_buckets(banded, max_bucket, stats)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
     )
 
 
@@ -207,29 +256,8 @@ def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = 8, bands: int = 4,
     quadratic self-join (capped counts land in ``stats``)."""
     if collapse_exact:
         docs = collapse_exact_docs(docs)
-    rows_per_band = n_hashes // bands
-    sig = minhash_signatures(docs, n_hashes, shingle_n)
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col("sig")[i] for i in range(b * rows_per_band,
-                                                (b + 1) * rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"),
-                     F.concat_ws("|", *parts).alias("key")).alias("b%d" % b)
-        )
-    banded = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    banded = _cap_hot_buckets(banded, max_bucket, stats)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.key") == F.col("b.key"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
-    )
+    return _lsh_candidates_from_shingles(shingles(docs, shingle_n),
+                                         n_hashes, bands, max_bucket, stats)
 
 
 def minhash_near_dups(docs: DataFrame, threshold: float = 0.6,
@@ -246,12 +274,17 @@ def minhash_near_dups(docs: DataFrame, threshold: float = 0.6,
     never materialized — that membership is ``exact_rep_members``'s
     linear output.  Pass ``collapse_exact=False`` for the historical
     all-pairs behavior (test/verify baselines only)."""
+    from kgre.session import stage_checkpoint
+
     if collapse_exact:
         docs = collapse_exact_docs(docs)
-    cands = lsh_candidate_pairs(docs, n_hashes, bands, shingle_n,
-                                collapse_exact=False,
-                                max_bucket=max_bucket, stats=stats)
-    sh = shingles(docs, shingle_n)
+    # ONE materialized shingle stream feeds the LSH candidates, the
+    # per-doc sizes and both verify sides (r6): previously each of the
+    # five references re-ran the tokenize/window/distinct pass (and the
+    # exact-collapse joins above it) from scratch
+    sh = stage_checkpoint(shingles(docs, shingle_n), eager=False)
+    cands = _lsh_candidates_from_shingles(sh, n_hashes, bands,
+                                          max_bucket, stats)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("ad"), F.col("shingle").alias("ash"))
     b = sh.select(F.col("doc_id").alias("bd"), F.col("shingle").alias("bsh"))
@@ -372,7 +405,14 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
             ])
         ).alias("bk"),
     ).select("doc_id", "simhash", "bk.band", "bk.key")
-    bands = _cap_hot_buckets(bands, max_bucket, stats)
+    if max_bucket is None:
+        # the self-join below references the banded stream twice; the
+        # cut keeps the Python simhash stage from executing once per
+        # side (the capped branch checkpoints inside _cap_hot_buckets)
+        from kgre.session import stage_checkpoint
+        bands = stage_checkpoint(bands, eager=False)
+    else:
+        bands = _cap_hot_buckets(bands, max_bucket, stats)
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -408,9 +448,16 @@ def cross_doc_span_stats(docs: DataFrame, n: int = 8,
     back → per-doc rollup.  No pair explosion anywhere: hot grams cost
     one counter row, never a self-join."""
     from kgre.decontam import ngram_hash_stream
+    from kgre.session import stage_checkpoint
 
-    per_doc_gram = (ngram_hash_stream(docs, n)
-                    .groupBy("doc_id", "h").agg(F.count("*").alias("cnt")))
+    # (doc, gram) counts are referenced twice (the per-gram rollup and
+    # the join's left side); the lazy checkpoint runs the n-gram hash
+    # stream once — the stored stream is exactly the rows the join
+    # shuffles anyway, traded against a second full tokenize+md5 pass
+    per_doc_gram = stage_checkpoint(
+        ngram_hash_stream(docs, n)
+        .groupBy("doc_id", "h").agg(F.count("*").alias("cnt")),
+        eager=False)
     docs_per_gram = (per_doc_gram.groupBy("h")
                      .agg(F.count("*").alias("nd")))
     dup = F.when(F.col("nd") >= min_docs, F.col("cnt")).otherwise(F.lit(0))
