@@ -182,15 +182,20 @@ def clean_documents(docs: DataFrame, neardup_threshold: float = 0.6,
                          cap_stats.get("capped_rows", 0), 0))
 
     t0 = time.time()
-    clean = (
-        deduped
-        .join(textstats.quality_score(deduped).select("doc_id", "quality"),
-              "doc_id")
-        .join(textstats.lang_id(deduped, threshold=lang_threshold)
-              .select("doc_id", "lang_pred"), "doc_id")
-        .filter((F.col("quality") >= min_quality)
-                & (F.col("lang_pred") == "en"))
-        .drop("quality", "lang_pred"))
+    # quality and language-ID are row-local expressions (quality_col is
+    # the fusible column exposed in r5) — apply them as ONE map-side
+    # filter instead of deriving two doc_id-keyed tables and joining
+    # them back (r6: two shuffle joins removed, and `deduped` is
+    # referenced once instead of three times, so the anti-join above is
+    # not re-executed per reference).  Predicate identity: lang_pred ==
+    # 'en' iff the unrounded stopword density >= lang_threshold, exactly
+    # lang_id's gate.
+    toks = textstats.tokens_col()
+    en_score = (F.size(F.filter(toks,
+                                lambda t: t.isin(textstats.EN_STOPWORDS)))
+                / F.size(toks))
+    clean = deduped.filter((textstats.quality_col() >= min_quality)
+                           & (en_score >= lang_threshold))
     if manifest is not None:
         # with a manifest every optional stage counts its output; cut
         # the lineage here (and after each optional stage below) so the
